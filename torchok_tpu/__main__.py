@@ -1,0 +1,79 @@
+"""CLI entrypoint (reference: torchok/__main__.py:13-55).
+
+Usage parity with the reference:
+    python -m torchok_tpu -cp <config_dir> -cn <config_name> [+mode=train] [a.b=c ...]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import torchok_tpu  # noqa: F401 — registers all components
+from torchok_tpu.constructor.config import load_config
+from torchok_tpu.constructor.config_structure import merge_structured
+from torchok_tpu.constructor import TASKS
+from torchok_tpu.constructor.runner import create_trainer
+from torchok_tpu.utils.seed import seed_everything
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+logger = logging.getLogger("torchok_tpu")
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(prog="torchok_tpu")
+    parser.add_argument("-cp", "--config-path", required=True,
+                        help="directory containing the config")
+    parser.add_argument("-cn", "--config-name", required=True,
+                        help="config file name (without .yaml)")
+    parser.add_argument("overrides", nargs="*",
+                        help="dotted overrides, e.g. trainer.max_epochs=3 +mode=train")
+    return parser.parse_args(argv)
+
+
+def extract_mode(overrides):
+    mode = "train"
+    rest = []
+    for ov in overrides:
+        key, _, value = ov.partition("=")
+        if key in ("mode", "+mode"):
+            mode = value
+        else:
+            rest.append(ov)
+    return mode, rest
+
+
+def entrypoint(argv=None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    mode, overrides = extract_mode(args.overrides)
+
+    raw = load_config(args.config_path, args.config_name, overrides)
+    config = merge_structured(raw)
+
+    seed_params = config.get("seed_params")
+    if seed_params and seed_params.get("seed") is not None:
+        seed_everything(int(seed_params.seed))
+
+    task_params = config.task.get("params") or {}
+    if hasattr(task_params, "to_dict"):
+        task_params = task_params.to_dict()
+    task = TASKS.get(config.task.name)(config, **task_params)
+
+    trainer = create_trainer(config)
+
+    if mode == "train":
+        trainer.fit(task, ckpt_path=config.get("resume_path"))
+    elif mode == "test":
+        trainer.test(task, ckpt_path=config.get("resume_path"))
+    elif mode == "predict":
+        trainer.predict(task, ckpt_path=config.get("resume_path"))
+    elif mode == "find_lr":
+        from torchok_tpu.constructor.auto_lr_find import find_lr
+        find_lr(trainer, task)
+    else:
+        raise ValueError(f"Unknown mode {mode!r} (train|test|predict|find_lr)")
+
+
+if __name__ == "__main__":
+    entrypoint()

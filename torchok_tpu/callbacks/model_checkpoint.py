@@ -1,0 +1,125 @@
+"""ModelCheckpoint callback — Orbax-backed (reference re-registers
+Lightning's ModelCheckpoint, torchok/callbacks/__init__.py:18).
+
+Supports monitor/save_top_k/mode/save_last with the Lightning filename
+convention (``epoch={n}-step={s}.ckpt`` directories, Orbax pytrees inside).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from torchok_tpu.constructor import CALLBACKS
+from torchok_tpu.engine.callbacks import Callback
+
+logger = logging.getLogger(__name__)
+
+
+def save_train_state(path: str, state, meta: Optional[Dict] = None) -> None:
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    if meta:
+        with open(path / "torchok_meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path, item=jax.device_get(target_state))
+    meta = {}
+    meta_path = path / "torchok_meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+    return restored, meta
+
+
+@CALLBACKS.register_class
+class ModelCheckpoint(Callback):
+    def __init__(self, dirpath: Optional[str] = None, filename: Optional[str] = None,
+                 monitor: Optional[str] = None, save_top_k: int = 1,
+                 save_last: bool = False, mode: str = "min",
+                 save_weights_only: bool = False, every_n_epochs: int = 1,
+                 export_to_onnx: bool = False, **_):
+        self.dirpath = dirpath
+        self.filename = filename
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        self.save_last = save_last
+        self.mode = mode
+        self.save_weights_only = save_weights_only
+        self.every_n_epochs = max(1, every_n_epochs)
+        self.best_k: List[Tuple[float, str]] = []  # (score, path)
+        self.best_model_path: Optional[str] = None
+        self.best_model_score: Optional[float] = None
+
+    def setup(self, trainer, task) -> None:
+        if self.dirpath is None:
+            base = trainer.logger.log_dir if trainer.logger else "checkpoints"
+            self.dirpath = str(Path(base) / "checkpoints")
+        Path(self.dirpath).mkdir(parents=True, exist_ok=True)
+
+    def _is_better(self, score: float, ref: float) -> bool:
+        return score < ref if self.mode == "min" else score > ref
+
+    def _ckpt_name(self, trainer) -> str:
+        if self.filename:
+            return self.filename.format(epoch=trainer.current_epoch,
+                                        step=trainer.global_step)
+        return f"epoch={trainer.current_epoch}-step={trainer.global_step}"
+
+    def _save(self, trainer, task, path: str) -> None:
+        state = trainer.state
+        if self.save_weights_only:
+            state = state.replace(opt_state=None)
+        save_train_state(path, state, meta={
+            "epoch": trainer.current_epoch,
+            "global_step": trainer.global_step,
+            "monitor": self.monitor,
+            "metrics": trainer.callback_metrics,
+        })
+        self.on_checkpoint_saved(trainer, task, path)
+
+    def on_checkpoint_saved(self, trainer, task, path: str) -> None:
+        """Hook for subclasses (e.g. StableHLO export on best checkpoints)."""
+
+    def on_epoch_end(self, trainer, task, logs: Dict[str, float]) -> None:
+        if (trainer.current_epoch + 1) % self.every_n_epochs != 0:
+            return
+        if self.monitor is not None and self.monitor in logs and self.save_top_k != 0:
+            score = float(logs[self.monitor])
+            path = str(Path(self.dirpath) / (self._ckpt_name(trainer) + ".ckpt"))
+            if self.save_top_k < 0 or len(self.best_k) < self.save_top_k:
+                self._save(trainer, task, path)
+                self.best_k.append((score, path))
+            else:
+                worst_idx = int(np.argmin([s for s, _ in self.best_k])) \
+                    if self.mode == "max" else int(np.argmax([s for s, _ in self.best_k]))
+                worst_score, worst_path = self.best_k[worst_idx]
+                if self._is_better(score, worst_score):
+                    self._save(trainer, task, path)
+                    if Path(worst_path).exists():
+                        shutil.rmtree(worst_path, ignore_errors=True)
+                    stale_export = Path(worst_path).with_suffix(".stablehlo")
+                    if stale_export.exists():
+                        shutil.rmtree(stale_export, ignore_errors=True)
+                    self.best_k[worst_idx] = (score, path)
+            best_idx = int(np.argmax([s for s, _ in self.best_k])) \
+                if self.mode == "max" else int(np.argmin([s for s, _ in self.best_k]))
+            self.best_model_score, self.best_model_path = self.best_k[best_idx]
+        elif self.monitor is None:
+            path = str(Path(self.dirpath) / (self._ckpt_name(trainer) + ".ckpt"))
+            self._save(trainer, task, path)
+            self.best_model_path = path
+        if self.save_last:
+            self._save(trainer, task, str(Path(self.dirpath) / "last.ckpt"))

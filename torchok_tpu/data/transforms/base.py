@@ -1,0 +1,157 @@
+"""Transform engine.
+
+The reference composes Albumentations ops from YAML (reference:
+torchok/constructor/constructor.py:325-358, torchok/data/transforms/__init__.py:24-116).
+This module re-implements that surface TPU-first:
+
+* every transform keeps the Albumentations calling convention
+  ``t(image=..., mask=...) -> dict`` for the host path;
+* transforms that are pure photometry / flips additionally implement a
+  *batched device* path (``apply_batch``, jnp over NHWC batches with
+  per-sample RNG) — ``Compose.split_device_suffix`` peels the maximal
+  suffix of device-capable ops so they run on-TPU fused ahead of the train
+  step instead of per-sample on CPU workers (SURVEY.md §7.4);
+* randomness on the host path uses a per-Compose ``numpy.random.Generator``
+  reseedable for determinism; on the device path a folded-in JAX key.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from torchok_tpu.constructor import TRANSFORMS
+
+
+class BaseTransform:
+    """Albumentations-compatible single transform."""
+
+    # True when apply_batch (jnp, NHWC batch) is implemented
+    device_capable: bool = False
+    # True when the op is deterministic (p is ignored / always applied)
+    always_apply: bool = False
+
+    def __init__(self, always_apply: bool = False, p: float = 0.5):
+        self.p = 1.0 if (always_apply or self.always_apply) else p
+        self.rng = np.random.default_rng()
+
+    def seed(self, seed: int) -> None:
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------ host path ------------------------------
+    def __call__(self, force_apply: bool = False, **sample) -> Dict[str, Any]:
+        if force_apply or self.p >= 1.0 or self.rng.random() < self.p:
+            params = self.get_params(sample)
+            out = dict(sample)
+            if "image" in sample:
+                out["image"] = self.apply(sample["image"], **params)
+            if "mask" in sample and sample["mask"] is not None:
+                out["mask"] = self.apply_to_mask(sample["mask"], **params)
+            if "bboxes" in sample and sample["bboxes"] is not None:
+                out["bboxes"] = self.apply_to_bboxes(
+                    sample["bboxes"], sample["image"].shape, **params)
+            return out
+        return dict(sample)
+
+    def get_params(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        return {}
+
+    def apply(self, image: np.ndarray, **params) -> np.ndarray:
+        raise NotImplementedError
+
+    def apply_to_mask(self, mask: np.ndarray, **params) -> np.ndarray:
+        return mask
+
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        return bboxes
+
+    # ----------------------------- device path -----------------------------
+    def apply_batch(self, batch: Dict[str, Any], rng) -> Dict[str, Any]:
+        """Batched on-device application; only for device_capable transforms.
+
+        ``batch['image']`` is an NHWC jnp array; ``rng`` a JAX PRNG key unique
+        per (step, transform).
+        """
+        raise NotImplementedError
+
+
+@TRANSFORMS.register_class
+class Compose(BaseTransform):
+    always_apply = True
+
+    def __init__(self, transforms: Sequence[BaseTransform], p: float = 1.0, **_ignored):
+        super().__init__(p=p)
+        self.transforms = list(transforms)
+
+    def seed(self, seed: int) -> None:
+        super().seed(seed)
+        for i, t in enumerate(self.transforms):
+            t.seed(seed * 1_000_003 + i)
+
+    def __call__(self, force_apply: bool = False, **sample) -> Dict[str, Any]:
+        for t in self.transforms:
+            sample = t(**sample)
+        return sample
+
+    def split_device_suffix(self) -> Tuple["Compose", List[BaseTransform]]:
+        """Split into (host prefix, device-capable suffix)."""
+        split = len(self.transforms)
+        while split > 0 and self.transforms[split - 1].device_capable:
+            split -= 1
+        host = Compose(self.transforms[:split], p=1.0)
+        return host, self.transforms[split:]
+
+
+@TRANSFORMS.register_class
+class OneOf(BaseTransform):
+    def __init__(self, transforms: Sequence[BaseTransform], p: float = 0.5, **_ignored):
+        super().__init__(p=p)
+        self.transforms = list(transforms)
+        probs = np.array([getattr(t, "p", 1.0) for t in self.transforms], dtype=np.float64)
+        self.probs = probs / probs.sum() if probs.sum() > 0 else None
+
+    def seed(self, seed: int) -> None:
+        super().seed(seed)
+        for i, t in enumerate(self.transforms):
+            t.seed(seed * 999_983 + i)
+
+    def __call__(self, force_apply: bool = False, **sample) -> Dict[str, Any]:
+        if self.transforms and (force_apply or self.rng.random() < self.p):
+            idx = self.rng.choice(len(self.transforms), p=self.probs)
+            return self.transforms[idx](force_apply=True, **sample)
+        return dict(sample)
+
+
+@TRANSFORMS.register_class
+class SomeOf(BaseTransform):
+    def __init__(self, transforms: Sequence[BaseTransform], n: int = 1,
+                 replace: bool = True, p: float = 1.0, **_ignored):
+        super().__init__(p=p)
+        self.transforms = list(transforms)
+        self.n = n
+        self.replace = replace
+
+    def seed(self, seed: int) -> None:
+        super().seed(seed)
+        for i, t in enumerate(self.transforms):
+            t.seed(seed * 999_979 + i)
+
+    def __call__(self, force_apply: bool = False, **sample) -> Dict[str, Any]:
+        if self.rng.random() < self.p:
+            idxs = self.rng.choice(len(self.transforms), size=self.n, replace=self.replace)
+            for i in idxs:
+                sample = self.transforms[int(i)](**sample)
+        return dict(sample)
+
+
+@TRANSFORMS.register_class
+class Sequential(Compose):
+    pass
+
+
+@TRANSFORMS.register_class
+class NoOp(BaseTransform):
+    always_apply = True
+
+    def apply(self, image, **params):
+        return image

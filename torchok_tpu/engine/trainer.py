@@ -1,0 +1,489 @@
+"""Training engine.
+
+Replaces PyTorch Lightning's Trainer (reference: torchok/constructor/runner.py
++ Lightning internals) with a compact TPU-native loop:
+
+* ONE jitted ``train_step(state, batch) -> (state, outputs, losses)`` under
+  GSPMD — the global batch is sharded over the ``data`` axis of a
+  ``jax.sharding.Mesh``; parameters/optimizer state are replicated (dp) or
+  sharded (fsdp strategy). Loss means and BatchNorm batch statistics are
+  computed over the full global batch by XLA-inserted collectives, which
+  subsumes the reference's ``all_gather`` loss averaging
+  (reference tasks/base.py:163-185) and ``sync_batchnorm``.
+* Input pipeline: host threads decode/augment (host stage), batches are
+  ``device_put`` with the batch-axis sharding and the dataset's on-device
+  transform suffix runs jitted before each step (double-buffered).
+* Schedulers run host-side and write the new lr into the
+  ``inject_hyperparams`` leaves of the optimizer state — no recompilation.
+* Gradient accumulation via ``optax.MultiSteps``; clipping via
+  ``optax.clip_by_global_norm`` composed before the optimizer.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from torchok_tpu.constructor.config import ConfigNode
+from torchok_tpu.constructor.config_structure import Phase
+from torchok_tpu.engine.callbacks import Callback
+from torchok_tpu.engine.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+def _tree_ones_like(tree):
+    return jax.tree_util.tree_map(lambda x: jnp.ones((), jnp.float32), tree)
+
+
+class Trainer:
+    def __init__(self, trainer_params: ConfigNode, logger_backend=None,
+                 callbacks: Optional[List[Callback]] = None,
+                 mesh: Optional[Mesh] = None, seed: int = 0):
+        tp = trainer_params
+        self.params = tp
+        self.logger = logger_backend
+        self.callbacks = callbacks or []
+        self.seed = seed
+
+        self.max_epochs = tp.get("max_epochs") or 1
+        self.min_epochs = tp.get("min_epochs") or 0
+        self.max_steps = tp.get("max_steps", -1)
+        self.limit_train_batches = tp.get("limit_train_batches")
+        self.limit_val_batches = tp.get("limit_val_batches")
+        self.limit_test_batches = tp.get("limit_test_batches")
+        self.limit_predict_batches = tp.get("limit_predict_batches")
+        self.check_val_every_n_epoch = tp.get("check_val_every_n_epoch") or 1
+        self.log_every_n_steps = tp.get("log_every_n_steps") or 50
+        self.accumulate_grad_batches = tp.get("accumulate_grad_batches") or 1
+        self.gradient_clip_val = tp.get("gradient_clip_val")
+        self.fast_dev_run = tp.get("fast_dev_run", False)
+        self.num_sanity_val_steps = tp.get("num_sanity_val_steps") or 0
+        self.profiler = tp.get("profiler")
+        self.strategy = tp.get("strategy", "auto")
+        self.enable_progress_bar = tp.get("enable_progress_bar")
+        if self.fast_dev_run:
+            n = 1 if self.fast_dev_run is True else int(self.fast_dev_run)
+            self.max_epochs = 1
+            self.limit_train_batches = n
+            self.limit_val_batches = n
+
+        self.mesh = mesh or self._build_mesh(tp)
+        self.data_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        # populated during fit
+        self.state: Optional[TrainState] = None
+        self.task = None
+        self.bundles = []
+        self.current_epoch = 0
+        self.global_step = 0
+        self.callback_metrics: Dict[str, float] = {}
+        self.should_stop = False
+        self._lr_positions: List[int] = []
+        self._lr_bases: List[float] = []
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _build_mesh(tp) -> Mesh:
+        devices = jax.devices()
+        want = tp.get("devices", "auto")
+        if isinstance(want, int) and want > 0:
+            devices = devices[:want]
+        elif isinstance(want, str) and want not in ("auto", "-1"):
+            try:
+                devices = devices[:int(want)]
+            except ValueError:
+                pass
+        return Mesh(np.array(devices), axis_names=("data",))
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.devices.size
+
+    # ------------------------------------------------------------------
+    def _limit(self, n_batches: int, limit) -> int:
+        if limit is None:
+            return n_batches
+        if isinstance(limit, float) and limit <= 1.0:
+            return max(1, int(n_batches * limit))
+        return min(n_batches, int(limit))
+
+    def _shard_batch(self, host_batch: Dict[str, Any]):
+        arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
+        bs = next(iter(arrays.values())).shape[0] if arrays else 0
+        sharding = self.data_sharding if bs % self.num_devices == 0 else self.replicated
+        return jax.device_put(arrays, sharding)
+
+    def _make_device_fn(self, dataset, train: bool) -> Callable:
+        pipe = dataset.device_pipeline
+        dtype = self.task.compute_dtype
+        base_key = jax.random.PRNGKey(self.seed + (17 if train else 31))
+
+        @jax.jit
+        def _process(batch, key):
+            if pipe:
+                batch = pipe(batch, key)
+            if "image" in batch:
+                batch = dict(batch)
+                batch["image"] = batch["image"].astype(dtype)
+            return batch
+
+        def device_fn(host_batch, step):
+            batch = self._shard_batch(host_batch)
+            key = jax.random.fold_in(base_key, step)
+            return _process(batch, key)
+
+        return device_fn
+
+    def _install_device_fns(self, loaders: Sequence, train: bool) -> None:
+        for ld in loaders:
+            ld.device_fn = self._make_device_fn(ld.dataset, train)
+
+    # ------------------------------------------------------------------
+    # optimizer plumbing
+    # ------------------------------------------------------------------
+    def _build_tx(self, bundle) -> optax.GradientTransformation:
+        tx = bundle.tx
+        if self.gradient_clip_val:
+            tx = optax.chain(optax.clip_by_global_norm(self.gradient_clip_val), tx)
+        if self.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
+        return tx
+
+    def _snapshot_lr_positions(self, opt_state) -> None:
+        leaves_with_path = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        self._lr_positions, self._lr_bases = [], []
+        for i, (path, leaf) in enumerate(leaves_with_path):
+            keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            if "learning_rate" in keys:
+                self._lr_positions.append(i)
+                self._lr_bases.append(float(np.asarray(leaf)))
+
+    def _apply_lr_factor(self, opt_state, factor: float):
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        for pos, base in zip(self._lr_positions, self._lr_bases):
+            leaves[pos] = jnp.asarray(base * factor, jnp.float32)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def current_lr(self) -> float:
+        if self.bundles and self.bundles[0].scheduler is not None:
+            return self.bundles[0].scheduler.current_lr
+        return self._lr_bases[0] if self._lr_bases else 0.0
+
+    # ------------------------------------------------------------------
+    # step functions
+    # ------------------------------------------------------------------
+    def _make_train_step(self, task, tx):
+        joint_loss = task.losses
+        model = task.model
+        dropout_key = jax.random.PRNGKey(self.seed + 7)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch):
+            rngs = {"dropout": jax.random.fold_in(dropout_key, state.step)}
+
+            def loss_fn(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable.append("batch_stats")
+                if state.buffers:
+                    variables["buffers"] = state.buffers
+                    mutable.append("buffers")
+                if mutable:
+                    outputs, new_vars = model.apply(variables, batch, train=True,
+                                                    rngs=rngs, mutable=mutable)
+                else:
+                    outputs = model.apply(variables, batch, train=True, rngs=rngs)
+                    new_vars = {}
+                total, tagged = joint_loss(**outputs)
+                return total, (outputs, new_vars, tagged)
+
+            (loss, (outputs, new_vars, tagged)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, state.grad_mask)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_bs = new_vars.get("batch_stats", state.batch_stats)
+            if state.batch_stats:
+                # bn_mask freezes running-stat updates for frozen norm layers
+                new_bs = jax.tree_util.tree_map(
+                    lambda old, new, m: old * (1.0 - m) + new * m,
+                    state.batch_stats, new_bs, state.bn_mask)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                buffers=new_vars.get("buffers", state.buffers),
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            )
+            losses = {"loss": loss, **tagged}
+            return new_state, outputs, losses
+
+        return train_step
+
+    def _make_eval_step(self, task, with_loss: bool):
+        joint_loss = task.losses
+        model = task.model
+
+        @jax.jit
+        def eval_step(state: TrainState, batch):
+            outputs = model.apply(state.variables, batch, train=False)
+            losses = {}
+            if with_loss and joint_loss is not None:
+                total, tagged = joint_loss(**outputs)
+                losses = {"loss": total, **tagged}
+            return outputs, losses
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _setup_state(self, task, ckpt_path: Optional[str] = None) -> None:
+        rng = jax.random.PRNGKey(self.seed)
+        variables = task.init_variables(rng)
+
+        # pretrained backbone weights from the local cache, if requested
+        if getattr(task, "pretrained_name", None):
+            from torchok_tpu.utils.pretrained import load_pretrained_params
+            params = dict(variables["params"])
+            if "backbone" in params:
+                params["backbone"] = load_pretrained_params(
+                    task.pretrained_name, params["backbone"])
+                variables = {**variables, "params": params}
+
+        variables = task.on_fit_start(variables)
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        buffers = variables.get("buffers", {})
+
+        self.bundles = task.constructor.configure_optimizers(
+            params, task.no_weight_decay()) if task.hparams.get("optimization") else []
+        if len(self.bundles) > 1:
+            logger.warning("Multiple optimization groups configured; using the first "
+                           "(multi-optimizer alternation is not yet supported)")
+        if self.bundles:
+            self.tx = self._build_tx(self.bundles[0])
+            opt_state = self.tx.init(params)
+            self._snapshot_lr_positions(opt_state)
+        else:
+            self.tx = optax.identity()
+            opt_state = self.tx.init(params)
+
+        state = TrainState(
+            params=params, batch_stats=batch_stats, buffers=buffers,
+            opt_state=opt_state, grad_mask=_tree_ones_like(params),
+            bn_mask=_tree_ones_like(batch_stats),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.strategy == "fsdp":
+            state = jax.device_put(state, self._fsdp_sharding(state))
+        else:
+            state = jax.device_put(state, self.replicated)
+        self.state = state
+
+        if ckpt_path:
+            from torchok_tpu.callbacks.model_checkpoint import restore_train_state
+            self.state, meta = restore_train_state(ckpt_path, self.state)
+            self.current_epoch = int(meta.get("epoch", 0)) + 1
+            self.global_step = int(meta.get("global_step", 0))
+
+    def _fsdp_sharding(self, state):
+        """Parameter sharding rule: shard the largest divisible axis over 'data'."""
+        n = self.num_devices
+
+        def spec_for(leaf):
+            if not hasattr(leaf, "shape") or leaf.ndim == 0:
+                return NamedSharding(self.mesh, P())
+            sizes = list(leaf.shape)
+            best = int(np.argmax(sizes))
+            if sizes[best] % n == 0 and sizes[best] >= n:
+                spec = [None] * leaf.ndim
+                spec[best] = "data"
+                return NamedSharding(self.mesh, P(*spec))
+            return NamedSharding(self.mesh, P())
+
+        return jax.tree_util.tree_map(spec_for, state)
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def fit(self, task, ckpt_path: Optional[str] = None) -> None:
+        self.task = task
+        try:
+            self._fit_inner(task, ckpt_path)
+        except BaseException as e:  # noqa: BLE001 — finalize loggers on any failure
+            for cb in self.callbacks:
+                cb.on_exception(self, task, e)
+            raise
+
+    def _fit_inner(self, task, ckpt_path: Optional[str]) -> None:
+        train_loaders = task.train_dataloader()
+        if not train_loaders:
+            raise ValueError("No TRAIN data configured")
+        train_loader = train_loaders[0]
+        val_loaders = task.val_dataloader()
+
+        self._setup_state(task, ckpt_path)
+        self._install_device_fns([train_loader], train=True)
+        self._install_device_fns(val_loaders, train=False)
+
+        train_step = self._make_train_step(task, self.tx)
+        eval_step = self._make_eval_step(task, task.compute_loss_on_valid)
+
+        for cb in self.callbacks:
+            cb.setup(self, task)
+        for cb in self.callbacks:
+            cb.on_fit_start(self, task)
+        if self.logger is not None:
+            self.logger.log_hyperparams(task.hparams)
+
+        n_train = self._limit(len(train_loader), self.limit_train_batches)
+
+        for epoch in range(self.current_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            epoch_logs: Dict[str, float] = {}
+            for cb in self.callbacks:
+                cb.on_train_epoch_start(self, task)
+
+            # ----- train epoch -----
+            t0 = time.perf_counter()
+            train_loader.set_epoch(epoch)
+            loss_sums: Dict[str, float] = {}
+            n_steps = 0
+            for bidx, batch in enumerate(train_loader):
+                if bidx >= n_train:
+                    break
+                self.state, outputs, losses = train_step(self.state, batch)
+                task.metrics_manager.update(Phase.TRAIN, 0, **outputs)
+                n_steps += 1
+                self.global_step += 1
+                if (self.global_step % self.log_every_n_steps == 0) or bidx == n_train - 1:
+                    host_losses = {k: float(v) for k, v in losses.items()}
+                    for k, v in host_losses.items():
+                        loss_sums[k] = loss_sums.get(k, 0.0) + v
+                    if self.logger is not None:
+                        self.logger.log_metrics(
+                            {f"train/{k}": v for k, v in host_losses.items()},
+                            step=self.global_step)
+                    for cb in self.callbacks:
+                        cb.on_train_batch_end(self, task, self.global_step, host_losses)
+                else:
+                    for k, v in losses.items():
+                        loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                if 0 < self.max_steps <= self.global_step:
+                    self.should_stop = True
+                    break
+            epoch_time = time.perf_counter() - t0
+
+            train_logs = {f"train/{k}": v / max(n_steps, 1) for k, v in loss_sums.items()}
+            train_logs.update(task.metrics_manager.on_epoch_end(Phase.TRAIN))
+            train_logs["train/epoch_time_s"] = epoch_time
+            if n_steps:
+                bs = train_loader.batch_size
+                train_logs["train/images_per_sec"] = n_steps * bs / epoch_time
+            epoch_logs.update(train_logs)
+            for cb in self.callbacks:
+                cb.on_train_epoch_end(self, task, train_logs)
+
+            # ----- validation -----
+            if val_loaders and (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_logs = self._run_eval(task, eval_step, val_loaders, Phase.VALID)
+                epoch_logs.update(val_logs)
+                for cb in self.callbacks:
+                    cb.on_validation_epoch_end(self, task, val_logs)
+
+            # ----- schedulers -----
+            for bundle in self.bundles:
+                sched = bundle.scheduler
+                if sched is None or bundle.scheduler_interval != "epoch":
+                    continue
+                if (epoch + 1) % bundle.scheduler_frequency == 0:
+                    metric = epoch_logs.get(bundle.scheduler_monitor)
+                    new_lr = sched.step(metric)
+                    factor = new_lr / sched.base_lr if sched.base_lr else 1.0
+                    self.state = self.state.replace(
+                        opt_state=self._apply_lr_factor(self.state.opt_state, factor))
+            epoch_logs["lr"] = self.current_lr()
+
+            self.callback_metrics = dict(epoch_logs)
+            if self.logger is not None:
+                self.logger.log_metrics(epoch_logs, step=self.global_step)
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, task, epoch_logs)
+
+            if self.should_stop or any(cb.should_stop(self) for cb in self.callbacks):
+                if epoch + 1 >= self.min_epochs:
+                    break
+
+        for cb in self.callbacks:
+            cb.on_fit_end(self, task)
+        if self.logger is not None:
+            self.logger.finalize("success")
+
+    def _run_eval(self, task, eval_step, loaders, phase: Phase,
+                  limit=None) -> Dict[str, float]:
+        limit = limit if limit is not None else (
+            self.limit_val_batches if phase == Phase.VALID else self.limit_test_batches)
+        loss_sums: Dict[str, float] = {}
+        n_steps = 0
+        for dl_idx, loader in enumerate(loaders):
+            n_batches = self._limit(len(loader), limit)
+            for bidx, batch in enumerate(loader):
+                if bidx >= n_batches:
+                    break
+                outputs, losses = eval_step(self.state, batch)
+                task.metrics_manager.update(phase, dl_idx, **outputs)
+                for k, v in losses.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                n_steps += 1
+        logs = {f"{phase.value}/{k}": v / max(n_steps, 1) for k, v in loss_sums.items()}
+        logs.update(task.metrics_manager.on_epoch_end(phase))
+        return logs
+
+    # ------------------------------------------------------------------
+    def test(self, task, ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        self.task = task
+        loaders = task.test_dataloader()
+        if self.state is None:
+            self._setup_state(task, ckpt_path)
+        self._install_device_fns(loaders, train=False)
+        eval_step = self._make_eval_step(task, with_loss=False)
+        logs = self._run_eval(task, eval_step, loaders, Phase.TEST,
+                              limit=self.limit_test_batches)
+        self.callback_metrics = dict(logs)
+        if self.logger is not None:
+            self.logger.log_metrics(logs, step=self.global_step)
+            self.logger.finalize("success")
+        for cb in self.callbacks:
+            cb.on_test_end(self, task, logs)
+        return logs
+
+    def predict(self, task, ckpt_path: Optional[str] = None) -> List[Dict[str, np.ndarray]]:
+        self.task = task
+        loaders = task.predict_dataloader()
+        if self.state is None:
+            self._setup_state(task, ckpt_path)
+        self._install_device_fns(loaders, train=False)
+        eval_step = self._make_eval_step(task, with_loss=False)
+        results = []
+        for loader in loaders:
+            n_batches = self._limit(len(loader), self.limit_predict_batches)
+            for bidx, batch in enumerate(loader):
+                if bidx >= n_batches:
+                    break
+                outputs, _ = eval_step(self.state, batch)
+                results.append({k: np.asarray(v) for k, v in outputs.items()})
+        return results

@@ -1,0 +1,59 @@
+"""Pretrained-weight loading.
+
+The reference pulls timm weight URLs at runtime (reference:
+torchok/models/backbones/resnet.py:566-569). This environment has no network
+egress, so ``pretrained=True`` resolves against a local cache directory
+(``TORCHOK_TPU_WEIGHTS`` or ``~/.cache/torchok_tpu/weights``) holding
+msgpack-serialized Flax param trees; a miss degrades to random init with a
+warning rather than failing the run.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
+
+_WARNED: set = set()
+
+
+def weights_dir() -> Path:
+    return Path(os.environ.get(
+        "TORCHOK_TPU_WEIGHTS",
+        os.path.join(os.path.expanduser("~"), ".cache", "torchok_tpu", "weights"),
+    ))
+
+
+def pretrained_path(name: str) -> Optional[Path]:
+    p = weights_dir() / f"{name}.msgpack"
+    return p if p.exists() else None
+
+
+def maybe_load_pretrained(model: Any, name: str) -> None:
+    """Record the pretrained source on the model config side.
+
+    Flax modules are stateless; actual parameter substitution happens at task
+    init via :func:`load_pretrained_params`. Here we only warn early when the
+    weights are unavailable.
+    """
+    if pretrained_path(name) is None and name not in _WARNED:
+        _WARNED.add(name)
+        logger.warning(
+            "pretrained=True for %s but no local weights found under %s; "
+            "continuing with random initialization (no network egress).",
+            name, weights_dir(),
+        )
+
+
+def load_pretrained_params(name: str, params: Any) -> Any:
+    """Merge locally cached pretrained params (if any) over ``params``."""
+    path = pretrained_path(name)
+    if path is None:
+        return params
+    from flax import serialization
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(params, f.read())
+    logger.info("Loaded pretrained weights for %s from %s", name, path)
+    return restored

@@ -1,0 +1,78 @@
+"""Backbone shape-parity tests (reference pattern:
+tests/additional_tests/models/backbones/test_backbone.py:10-67 — forward
+shape + full forward_features pyramid + traceability, here jit-ability)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchok_tpu.constructor import BACKBONES
+
+VARIANTS = [
+    ("resnet18", 512, 5),
+    ("resnet50", 2048, 5),
+    ("resnet50d", 2048, 5),
+    ("resnext50_32x4d", 2048, 5),
+    ("seresnet18", 512, 5),
+]
+
+
+@pytest.mark.parametrize("name,out_ch,n_stages", VARIANTS)
+def test_backbone_shapes(name, out_ch, n_stages):
+    model = BACKBONES.get(name)()
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(variables, x, False)
+    assert out.shape == (2, 2, 2, out_ch)
+    assert model.out_channels == out_ch
+
+    feats = model.apply(variables, x, False, method=model.forward_features)
+    assert len(feats) == n_stages + 1  # [input] + stem + 4 stages
+    assert feats[0].shape == (2, 64, 64, 3)
+    strides = [1, 2, 4, 8, 16, 32]
+    for f, s in zip(feats, strides):
+        assert f.shape[1] == 64 // s
+    assert tuple(f.shape[-1] for f in feats[1:]) == model.out_encoder_channels
+
+
+def test_backbone_jittable():
+    model = BACKBONES.get("resnet18")()
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    fn = jax.jit(lambda v, x: model.apply(v, x, False))
+    out = fn(variables, x)
+    assert out.shape == (1, 1, 1, 512)
+
+
+def test_backbone_train_mode_updates_bn():
+    model = BACKBONES.get("resnet18")()
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    _, new_vars = model.apply(variables, x, True, mutable=["batch_stats"])
+    # running stats must move away from init
+    leaves_old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves_new = jax.tree_util.tree_leaves(new_vars["batch_stats"])
+    changed = any(bool(jnp.any(a != b)) for a, b in zip(leaves_old, leaves_new))
+    assert changed
+
+
+def test_get_stages_prefixes():
+    model = BACKBONES.get("resnet18")()
+    p0 = model.get_stages(0)
+    p2 = model.get_stages(2)
+    assert "conv1" in p0 and not any("layer" in p for p in p0)
+    assert any(p.startswith("layer1") for p in p2)
+    assert any(p.startswith("layer2") for p in p2)
+    assert not any(p.startswith("layer3") for p in p2)
+
+
+def test_output_stride_dilation():
+    model = BACKBONES.get("resnet18")(output_stride=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(variables, x, False)
+    assert out.shape == (1, 8, 8, 512)  # stride 8 instead of 32
+
+
+def test_registry_list_models():
+    names = BACKBONES.list_models("resnet*")
+    assert "resnet18" in names and "resnet50" in names

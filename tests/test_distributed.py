@@ -1,0 +1,73 @@
+"""Multi-device GSPMD tests on a simulated multi-device CPU mesh
+(the reference's CPU-DDP equivalence tests, SURVEY.md §4 tier 2:
+metric/loss values must match the single-device run)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import torchok_tpu  # noqa: F401
+from torchok_tpu.constructor import TASKS
+from torchok_tpu.constructor.runner import create_trainer
+from torchok_tpu.engine.trainer import Trainer
+
+from tests.test_train_loop import make_config, build
+
+
+def test_multi_devices_available(multi_devices):
+    assert len(multi_devices) >= 2
+
+
+def test_sharded_batch_metrics_match_replicated(multi_devices):
+    """Confusion-matrix accumulation over a sharded batch equals host numpy."""
+    from torchok_tpu.constructor import METRICS
+    mesh = Mesh(np.array(multi_devices), ("data",))
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(64, 5)).astype(np.float32)
+    target = rng.integers(0, 5, size=(64,))
+
+    m = METRICS.get("Accuracy")(task="multiclass", num_classes=5)
+    state = m.empty_state()
+    sharded_logits = jax.device_put(logits, NamedSharding(mesh, P("data")))
+    sharded_target = jax.device_put(target, NamedSharding(mesh, P("data")))
+    state = jax.jit(m.update)(state, preds=sharded_logits, target=sharded_target)
+    ours = m.compute(state)
+    ref = float((logits.argmax(1) == target).mean())
+    assert abs(ours - ref) < 1e-6
+
+
+def test_dp_training_matches_single_device(tmp_path, multi_devices):
+    """Same seed, same data: an 8-way data-parallel run must produce the same
+    loss trajectory as single-device (GSPMD means math is identical)."""
+    config = make_config(tmp_path, max_epochs=1)
+    task1, trainer1 = build(config)
+    trainer1.mesh = Mesh(np.array(multi_devices[:1]), ("data",))
+    trainer1.data_sharding = NamedSharding(trainer1.mesh, P("data"))
+    trainer1.replicated = NamedSharding(trainer1.mesh, P())
+    trainer1.fit(task1)
+    loss1 = trainer1.callback_metrics["train/loss"]
+
+    config2 = make_config(tmp_path, max_epochs=1)
+    task2, trainer2 = build(config2)
+    trainer2.mesh = Mesh(np.array(multi_devices), ("data",))
+    trainer2.data_sharding = NamedSharding(trainer2.mesh, P("data"))
+    trainer2.replicated = NamedSharding(trainer2.mesh, P())
+    trainer2.fit(task2)
+    loss2 = trainer2.callback_metrics["train/loss"]
+
+    assert abs(loss1 - loss2) < 1e-3
+    acc1 = trainer1.callback_metrics["valid/Accuracy"]
+    acc2 = trainer2.callback_metrics["valid/Accuracy"]
+    assert abs(acc1 - acc2) < 1e-6
+
+
+def test_fsdp_strategy_runs(tmp_path, multi_devices):
+    config = make_config(tmp_path, max_epochs=1)
+    config.trainer["strategy"] = "fsdp"
+    task, trainer = build(config)
+    trainer.mesh = Mesh(np.array(multi_devices), ("data",))
+    trainer.data_sharding = NamedSharding(trainer.mesh, P("data"))
+    trainer.replicated = NamedSharding(trainer.mesh, P())
+    trainer.fit(task)
+    assert "train/loss" in trainer.callback_metrics

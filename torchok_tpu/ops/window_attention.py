@@ -1,0 +1,146 @@
+"""Fused SwinV2 window attention.
+
+The hot op of the Swin/DaViT family (SURVEY.md §5 "long-context analogs"):
+block-diagonal attention over (shifted) spatial windows with cosine
+similarity, learned per-head temperature, and continuous relative position
+bias.
+
+Two execution paths:
+
+* ``_window_attention_xla`` — batched einsum formulation; windows ride the
+  batch dimension so every matmul lands on the MXU.
+* ``_window_attention_pallas`` — a Pallas TPU kernel fusing the q/k
+  normalization, cosine-logits matmul, bias/mask add, softmax and PV matmul
+  in VMEM, one grid step per (window-batch, head). Used on TPU by default;
+  numerics are validated against the XLA path in tests (interpret mode on
+  CPU).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2_100 = math.log(100.0)
+
+
+def _normalize(x, axis=-1, eps=1e-12):
+    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
+
+
+def _window_attention_xla(q, k, v, logit_scale, bias, mask):
+    """q/k/v: (B, H, L, D); logit_scale: (H,); bias: (H, L, L);
+    mask: (B, L, L) additive or None."""
+    dtype = q.dtype
+    qn = _normalize(q.astype(jnp.float32))
+    kn = _normalize(k.astype(jnp.float32))
+    scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), LOG2_100))
+    attn = jnp.einsum("bhqd,bhkd->bhqk", qn, kn,
+                      preferred_element_type=jnp.float32)
+    attn = attn * scale[None, :, None, None]
+    attn = attn + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        attn = attn + mask.astype(jnp.float32)[:, None]
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(dtype), v)
+    return out
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _wa_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, mask_ref, out_ref, *, L):
+    """One (window, head) tile: fused cosine attention in VMEM.
+    q: (Lq, Dp); k, v: (Lk, Dp); bias/mask: (Lq, Lk); scale: full (H,) SMEM."""
+    head = pl.program_id(1)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+
+    qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+    scale = jnp.exp(jnp.minimum(scale_ref[head], LOG2_100))
+    attn = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32) * scale
+    attn = attn + bias_ref[0].astype(jnp.float32)
+    attn = attn + mask_ref[0].astype(jnp.float32)
+    if attn.shape[-1] != L:  # mask out padded key positions
+        col = jax.lax.broadcasted_iota(jnp.int32, attn.shape, 1)
+        attn = jnp.where(col < L, attn, -1e30)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out_ref[0, 0] = jnp.dot(attn.astype(jnp.float32), v.astype(jnp.float32),
+                            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _window_attention_pallas(q, k, v, logit_scale, bias, mask):
+    B, H, L, D = q.shape
+    Lq = _round_up(L, 8)     # sublane-aligned query length
+    Lk = _round_up(L, 128)   # lane-aligned key length
+    Dp = _round_up(D, 128)
+
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, Lq - L), (0, Dp - D)])
+    kp = jnp.pad(k, [(0, 0), (0, 0), (0, Lk - L), (0, Dp - D)])
+    vp = jnp.pad(v, [(0, 0), (0, 0), (0, Lk - L), (0, Dp - D)])
+    bias_p = jnp.pad(bias, [(0, 0), (0, Lq - L), (0, Lk - L)])
+    if mask is None:
+        mask_arr = jnp.zeros((1, Lq, Lk), q.dtype)
+        mask_idx = lambda b, h: (0, 0, 0)  # noqa: E731
+    else:
+        mask_arr = jnp.pad(mask.astype(q.dtype), [(0, 0), (0, Lq - L), (0, Lk - L)])
+        mask_idx = lambda b, h: (b, 0, 0)  # noqa: E731
+
+    scale1d = logit_scale.reshape(H).astype(jnp.float32)
+
+    kernel = functools.partial(_wa_kernel, L=L)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lq, Dp), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, Dp), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk, Dp), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (H,) scale vector
+            pl.BlockSpec((1, Lq, Lk), lambda b, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, Lk), mask_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Lq, Dp), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, Dp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * (Lq * Lk * Dp + Lq * Lk * Dp),
+            bytes_accessed=4 * B * H * (Lq * Dp * 2 + Lk * Dp * 2),
+            transcendentals=B * H * Lq * Lk,
+        ),
+    )(qp, kp, vp, scale1d, bias_p, mask_arr)
+    return out[:, :, :L, :D]
+
+
+def window_attention(q, k, v, logit_scale, bias, mask=None,
+                     use_pallas: Optional[bool] = None, interpret: bool = False):
+    """Fused SwinV2 cosine window attention. Shapes:
+    q/k/v (B_, H, L, D), logit_scale (H,), bias (H, L, L), mask (B_, L, L)
+    additive (callers tile the per-window-type mask over the batch).
+
+    Backend choice: measured on v5e (B=256,H=4,L=64,D=32) the XLA batched
+    formulation runs ~488us vs ~1227us for the per-window Pallas kernel —
+    one grid program per (window, head) is too fine and the D->128 lane
+    padding wastes 4x MXU occupancy. XLA is therefore the default; the
+    Pallas path stays available via TORCHOK_WINDOW_ATTN_PALLAS=1 and for the
+    planned multi-window blocked rewrite.
+    """
+    if use_pallas is None:
+        import os
+        use_pallas = os.environ.get("TORCHOK_WINDOW_ATTN_PALLAS", "0") == "1" \
+            and jax.default_backend() == "tpu"
+    if use_pallas:
+        return _window_attention_pallas(q, k, v, logit_scale, bias, mask)
+    return _window_attention_xla(q, k, v, logit_scale, bias, mask)

@@ -1,0 +1,171 @@
+"""Retrieval metric engine tests: on-TPU(-simulated) k-NN index parity with
+numpy brute force, plus hand-computed answer tables for classification and
+representation modes (the reference's answer-table pattern,
+tests/base_tests/metrics/representation — fixtures designed independently).
+"""
+import numpy as np
+import pytest
+
+import torchok_tpu  # noqa: F401
+from torchok_tpu.constructor import METRICS
+from torchok_tpu.ops.knn import TpuIndex
+
+
+def test_knn_index_matches_numpy_ip():
+    rng = np.random.default_rng(0)
+    gallery = rng.normal(size=(50, 16)).astype(np.float32)
+    queries = rng.normal(size=(7, 16)).astype(np.float32)
+    index = TpuIndex(gallery, metric="IP")
+    scores, idxs = index.search(queries, k=5)
+    ref = queries @ gallery.T
+    ref_idxs = np.argsort(-ref, axis=1)[:, :5]
+    np.testing.assert_array_equal(idxs, ref_idxs)
+    np.testing.assert_allclose(scores, np.take_along_axis(ref, ref_idxs, 1), rtol=1e-5)
+
+
+def test_knn_index_matches_numpy_l2():
+    rng = np.random.default_rng(1)
+    gallery = rng.normal(size=(40, 8)).astype(np.float32)
+    queries = rng.normal(size=(5, 8)).astype(np.float32)
+    index = TpuIndex(gallery, metric="L2")
+    scores, idxs = index.search(queries, k=3)
+    d2 = ((queries[:, None] - gallery[None]) ** 2).sum(-1)
+    ref_idxs = np.argsort(d2, axis=1)[:, :3]
+    np.testing.assert_array_equal(idxs, ref_idxs)
+    np.testing.assert_allclose(scores, np.take_along_axis(d2, ref_idxs, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _embed(angle):
+    return [np.cos(angle), np.sin(angle)]
+
+
+@pytest.fixture
+def classification_state():
+    """Six unit vectors on a circle; classes = {0: a,b}, {1: c,d}, {2: e,f}.
+    Angles chosen so nearest (IP) neighbor of each vector is its classmate."""
+    angles = {
+        "a": 0.00, "b": 0.10,       # class 0
+        "c": 1.50, "d": 1.60,       # class 1
+        "e": 3.00, "f": 3.10,       # class 2
+    }
+    vectors = np.array([_embed(a) for a in angles.values()], np.float32)
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    return vectors, labels
+
+
+def _run_classification(name, k, vectors, labels, **params):
+    m = METRICS.get(name)(dataset_type="classification", k=k, **params)
+    state = m.empty_state()
+    # two chunks to exercise accumulation
+    state = m.update(state, vectors=vectors[:3], group_labels=labels[:3])
+    state = m.update(state, vectors=vectors[3:], group_labels=labels[3:])
+    return m.compute(state)
+
+
+def test_classification_hit_at_1(classification_state):
+    vectors, labels = classification_state
+    # every vector's top-1 (self removed) is its classmate -> hit rate 1.0
+    assert _run_classification("HitAtKMeter", 1, vectors, labels) == 1.0
+
+
+def test_classification_precision_recall(classification_state):
+    vectors, labels = classification_state
+    # with k=2 each query has exactly 1 relevant among 2 retrieved
+    p = _run_classification("PrecisionAtKMeter", 2, vectors, labels)
+    r = _run_classification("RecallAtKMeter", 2, vectors, labels)
+    assert abs(p - 0.5) < 1e-6
+    assert abs(r - 1.0) < 1e-6
+
+
+def test_classification_map(classification_state):
+    vectors, labels = classification_state
+    # single relevant at rank 1 -> AP = 1 for all queries
+    assert abs(_run_classification("MeanAveragePrecisionAtKMeter", 1,
+                                   vectors, labels) - 1.0) < 1e-6
+
+
+@pytest.fixture
+def representation_state():
+    """2 queries + 4 gallery items with known relevance scores.
+
+    Layout (storage order): [q0, q1, g0, g1, g2, g3]
+    q0 relevant: g0 (score 2), g1 (score 1); q1 relevant: g3 (score 1).
+    Embeddings arranged so the ranking for q0 is [g0, g1, ...] and for q1 is
+    [g3, ...].
+    """
+    vectors = np.array([
+        _embed(0.0),    # q0
+        _embed(2.0),    # q1
+        _embed(0.05),   # g0 - closest to q0
+        _embed(0.40),   # g1 - second for q0
+        _embed(1.0),    # g2 - irrelevant
+        _embed(2.05),   # g3 - closest to q1
+    ], np.float32)
+    query_idxs = np.array([0, 1, -1, -1, -1, -1], np.int32)
+    scores = np.zeros((6, 2), np.float32)
+    scores[2, 0] = 2.0  # g0 relevant to q0
+    scores[3, 0] = 1.0  # g1 relevant to q0
+    scores[5, 1] = 1.0  # g3 relevant to q1
+    return vectors, query_idxs, scores
+
+
+def _run_representation(name, k, vectors, query_idxs, scores, **params):
+    m = METRICS.get(name)(dataset_type="representation", k=k, **params)
+    state = m.empty_state()
+    state = m.update(state, vectors=vectors[:4], query_idxs=query_idxs[:4],
+                     scores=scores[:4], group_labels=np.zeros(4, np.int64))
+    state = m.update(state, vectors=vectors[4:], query_idxs=query_idxs[4:],
+                     scores=scores[4:], group_labels=np.zeros(2, np.int64))
+    return m.compute(state)
+
+
+def test_representation_precision_at_2(representation_state):
+    vectors, query_idxs, scores = representation_state
+    # q0: both top-2 relevant (p=1); q1: one of top-2 relevant (p=0.5)
+    p = _run_representation("PrecisionAtKMeter", 2, vectors, query_idxs, scores)
+    assert abs(p - 0.75) < 1e-6
+
+
+def test_representation_recall(representation_state):
+    vectors, query_idxs, scores = representation_state
+    r = _run_representation("RecallAtKMeter", 2, vectors, query_idxs, scores)
+    assert abs(r - 1.0) < 1e-6
+
+
+def test_representation_ndcg(representation_state):
+    vectors, query_idxs, scores = representation_state
+    # q0 retrieves [g0(rel 2), g1(rel 1)] in ideal order -> ndcg 1; same q1
+    n = _run_representation("NDCGAtKMeter", 2, vectors, query_idxs, scores)
+    assert abs(n - 1.0) < 1e-6
+
+
+def test_representation_ndcg_penalizes_wrong_order():
+    # one query; relevant g_hi (score 4) ranked second, g_lo (score 1) first
+    vectors = np.array([
+        _embed(0.0),   # q
+        _embed(0.05),  # g_lo: closest but low relevance
+        _embed(0.30),  # g_hi: high relevance, second
+    ], np.float32)
+    query_idxs = np.array([0, -1, -1], np.int32)
+    scores = np.zeros((3, 1), np.float32)
+    scores[1, 0] = 1.0
+    scores[2, 0] = 4.0
+    n = _run_representation("NDCGAtKMeter", 2, vectors, query_idxs, scores)
+    dcg = 1.0 / np.log2(2) + 4.0 / np.log2(3)
+    idcg = 4.0 / np.log2(2) + 1.0 / np.log2(3)
+    assert abs(n - dcg / idcg) < 1e-6
+
+
+def test_group_averaging(classification_state):
+    vectors, labels = classification_state
+    val = _run_classification("PrecisionAtKMeter", 2, vectors, labels,
+                              group_averaging=True)
+    assert abs(val - 0.5) < 1e-6  # symmetric groups -> same value
+
+
+def test_k_as_target_len(classification_state):
+    vectors, labels = classification_state
+    val = _run_classification("RecallAtKMeter", 1, vectors, labels,
+                              k_as_target_len=True, group_averaging=True)
+    assert abs(val - 1.0) < 1e-6

@@ -1,2 +1,3 @@
 from torchok_tpu.data.datasets.examples.cifar import CIFAR10, CIFAR100
 from torchok_tpu.data.datasets.examples.synthetic import SyntheticClassificationDataset
+from torchok_tpu.data.datasets.examples.sop import SOP, TRIPLET_SOP

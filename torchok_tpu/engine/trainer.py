@@ -128,13 +128,27 @@ class Trainer:
         dtype = self.task.compute_dtype
         base_key = jax.random.PRNGKey(self.seed + (17 if train else 31))
 
+        # keys carrying images (multi-view datasets emit image_0/image_1;
+        # triplet datasets emit anchor/positive/negative)
+        def _image_keys(batch):
+            return [k for k in batch
+                    if k == "image" or k.startswith("image_")
+                    or k in ("anchor", "positive", "negative")]
+
         @jax.jit
         def _process(batch, key):
+            batch = dict(batch)
+            keys = _image_keys(batch)
             if pipe:
-                batch = pipe(batch, key)
-            if "image" in batch:
-                batch = dict(batch)
-                batch["image"] = batch["image"].astype(dtype)
+                if keys == ["image"]:
+                    batch = dict(pipe(batch, key))
+                else:
+                    for i, k in enumerate(sorted(keys)):
+                        sub = pipe({"image": batch[k]},
+                                   jax.random.fold_in(key, 1000 + i))
+                        batch[k] = sub["image"]
+            for k in _image_keys(batch):
+                batch[k] = batch[k].astype(dtype)
             return batch
 
         def device_fn(host_batch, step):

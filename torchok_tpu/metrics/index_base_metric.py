@@ -1,0 +1,208 @@
+"""Index-based retrieval metrics (reference:
+torchok/metrics/index_base_metric.py:32-545).
+
+The retrieval-metric engine: accumulates embeddings (+labels or
+query_idxs/scores) across the eval epoch, builds a nearest-neighbor index
+over the gallery and feeds ranked lists into ranking metric functions.
+
+TPU-native redesign (SURVEY.md §7.5): the FAISS CPU index is replaced by an
+on-TPU brute-force matmul + ``lax.top_k`` (ops/knn.py) — exact for both the
+"exact" and "approximate" reference modes. The k+1 search with query-self
+removal, classification vs representation data preparation, group
+averaging, and k_as_target_len semantics are preserved from the reference.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from torchok_tpu.metrics.base import Metric
+from torchok_tpu.ops.knn import TpuIndex
+
+logger = logging.getLogger(__name__)
+
+DATASET_TYPES = ("classification", "representation")
+METRIC_DISTANCES = ("IP", "L2")
+
+
+class IndexBasedMeter(Metric):
+    jittable_update = False
+
+    def __init__(self, exact_index: bool, dataset_type: str, metric_distance: str,
+                 metric_func: Callable, k_as_target_len: bool = False,
+                 k: Optional[int] = None, use_batching_search: bool = True,
+                 search_batch_size: Optional[int] = None,
+                 normalize_vectors: bool = False, group_averaging: bool = False,
+                 raise_empty_query: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        if dataset_type not in DATASET_TYPES:
+            raise ValueError(f"dataset_type must be one of {DATASET_TYPES}")
+        if metric_distance not in METRIC_DISTANCES:
+            raise ValueError(f"metric_distance must be one of {METRIC_DISTANCES}")
+        self.exact_index = exact_index  # kept for config parity; both are exact on TPU
+        self.dataset_type = dataset_type
+        self.metric_distance = metric_distance
+        self.metric_func = metric_func
+        self.normalize_vectors = normalize_vectors
+        self.group_averaging = group_averaging
+        self.k_as_target_len = k_as_target_len
+        self.use_batching_search = use_batching_search
+        self.raise_empty_query = raise_empty_query
+        self.search_batch_size = search_batch_size or 512
+        k = 1 if k is None else k
+        self.search_k = k + 1  # query may sit in the gallery; drop self-match
+        self.metric_compute_k = k
+
+    # ------------------------------------------------------------------
+    def empty_state(self):
+        state = {"vectors": [], "group_labels": []}
+        if self.dataset_type == "representation":
+            state["query_idxs"] = []
+            state["scores"] = []
+        return state
+
+    def update(self, state, vectors=None, group_labels=None, query_idxs=None,
+               scores=None, **_):
+        state["vectors"].append(np.asarray(vectors))
+        if self.dataset_type == "classification":
+            if group_labels is None:
+                raise ValueError("In classification dataset group_labels must be not None.")
+            state["group_labels"].append(np.asarray(group_labels))
+        else:
+            if query_idxs is None:
+                raise ValueError("In representation dataset query_numbers must be not None.")
+            if scores is None:
+                raise ValueError("In representation dataset scores must be not None")
+            state["query_idxs"].append(np.asarray(query_idxs))
+            state["scores"].append(np.asarray(scores))
+            state["group_labels"].append(np.asarray(
+                group_labels if group_labels is not None
+                else np.zeros(len(np.asarray(query_idxs)), np.int64)))
+        return state
+
+    # ------------------------------------------------------------------
+    def prepare_representation_data(self, query_idxs, scores):
+        is_query = query_idxs >= 0
+        query_column_idxs = query_idxs[is_query]
+        query_row_idxs = np.where(is_query)[0]
+        query_as_relevant = np.any(scores[query_row_idxs, :] > 0, axis=-1)
+
+        gallery_idxs = np.arange(len(scores))
+        clear_query_idxs = query_row_idxs[~query_as_relevant]
+        gallery_idxs = np.delete(gallery_idxs, clear_query_idxs)
+
+        relevant_idxs = []
+        for query_col_idx in query_column_idxs:
+            curr = np.where(scores[:, query_col_idx] > 0.0)[0]
+            if len(curr) == 0:
+                if self.raise_empty_query:
+                    raise ValueError(
+                        "Representation metric. The dataset contains a query vector "
+                        "that does not has relevants. Set parameter raise_empty_query "
+                        "to False for compute.")
+                relevant_idxs.append(np.empty((0,), np.int64))
+            else:
+                order = np.argsort(scores[curr, query_col_idx])[::-1]
+                relevant_idxs.append(curr[order])
+        relevant_idxs = np.array(relevant_idxs, dtype=object)
+        return relevant_idxs, gallery_idxs, query_column_idxs, query_row_idxs, query_as_relevant
+
+    def prepare_classification_data(self, targets):
+        relevant_idxs, query_row_idxs = [], []
+        order = {}
+        for idx, t in enumerate(targets):
+            order.setdefault(t, []).append(idx)
+        for label, group in order.items():
+            garr = np.array(group)
+            for query_idx in group:
+                relevant = garr[garr != query_idx]
+                if len(relevant) == 0 and self.raise_empty_query:
+                    raise ValueError(
+                        f"Representation metric. The class {label} has only one element.")
+                query_row_idxs.append(query_idx)
+                relevant_idxs.append(relevant)
+        relevant_idxs = np.array(relevant_idxs, dtype=object)
+        query_row_idxs = np.array(query_row_idxs)
+        gallery_idxs = np.arange(len(targets))
+        query_as_relevant = np.full((len(query_row_idxs),), True, dtype=bool)
+        return relevant_idxs, gallery_idxs, query_row_idxs, query_as_relevant
+
+    @staticmethod
+    def clear_search_output(output, query_as_relevant):
+        """Drop the self-match column (first element when the query is in the
+        gallery, last otherwise — k+1 were searched)."""
+        out = np.zeros((output.shape[0], output.shape[1] - 1), output.dtype)
+        out[query_as_relevant] = output[query_as_relevant, 1:]
+        out[~query_as_relevant] = output[~query_as_relevant, :-1]
+        return out
+
+    def process_data_for_metric_func(self, closest_scores, closest_idxs,
+                                     relevants_idxs, query_col_idxs, scores, k):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def compute(self, state) -> float:
+        vectors = np.concatenate(state["vectors"]).astype(np.float32)
+        group_labels = np.concatenate(state["group_labels"]) if state["group_labels"] else None
+        if self.normalize_vectors:
+            # reference normalizes by column norms (index_base_metric.py:193)
+            vectors = vectors / np.linalg.norm(vectors, axis=0)
+
+        if self.dataset_type == "classification":
+            relevant_idxs, gallery_idxs, query_row_idxs, query_as_relevant = \
+                self.prepare_classification_data(group_labels)
+            scores = None
+            query_column_idxs = None
+        else:
+            scores = np.concatenate(state["scores"])
+            query_idxs = np.concatenate(state["query_idxs"])
+            (relevant_idxs, gallery_idxs, query_column_idxs, query_row_idxs,
+             query_as_relevant) = self.prepare_representation_data(query_idxs, scores)
+
+        index = TpuIndex(vectors[gallery_idxs], metric=self.metric_distance)
+
+        if self.group_averaging:
+            uniq = np.unique(group_labels)
+            group_split = [np.where(group_labels == label)[0] for label in uniq]
+        else:
+            group_split = [np.arange(len(group_labels))]
+
+        metric_values = []
+        for group_indexes in group_split:
+            curr_metric = 0.0
+            sel = np.isin(query_row_idxs, group_indexes)
+            curr_query_col_idxs = None if query_column_idxs is None else query_column_idxs[sel]
+            curr_relevant_idxs = relevant_idxs[sel]
+            curr_query_row_idxs = query_row_idxs[sel]
+            curr_query_as_relevant = query_as_relevant[sel]
+
+            if self.k_as_target_len:
+                k = len(group_indexes) + 1 - int(np.sum(~curr_query_as_relevant))
+            else:
+                k = self.search_k
+
+            bs = self.search_batch_size if self.use_batching_search else len(curr_query_row_idxs)
+            for i in range(0, len(curr_query_row_idxs), bs):
+                batch = np.arange(i, min(i + bs, len(curr_query_row_idxs)))
+                b_as_rel = curr_query_as_relevant[batch]
+                b_rows = curr_query_row_idxs[batch]
+                b_rels = curr_relevant_idxs[batch]
+                b_cols = None if curr_query_col_idxs is None else curr_query_col_idxs[batch]
+
+                closest_scores, local_idxs = index.search(vectors[b_rows], k=k)
+                closest_idxs = gallery_idxs[local_idxs]
+                closest_scores = self.clear_search_output(closest_scores, b_as_rel)
+                closest_idxs = self.clear_search_output(closest_idxs, b_as_rel)
+
+                args = self.process_data_for_metric_func(
+                    closest_scores=closest_scores, closest_idxs=closest_idxs,
+                    relevants_idxs=b_rels, query_col_idxs=b_cols,
+                    scores=scores, k=k)
+                if min(np.shape(args[0])[0] if hasattr(args[0], "shape") else len(args[0]), 1) == 0:
+                    continue
+                curr_metric += len(batch) * float(np.mean(self.metric_func(*args)))
+            curr_metric /= max(len(curr_query_row_idxs), 1)
+            metric_values.append(curr_metric)
+        return float(np.mean(metric_values))

@@ -1,0 +1,64 @@
+"""On-TPU brute-force k-NN index.
+
+Replaces FAISS IndexFlatIP / IndexFlatL2 / IndexIVFFlat for the retrieval
+metrics (reference: torchok/metrics/index_base_metric.py:523-545 builds
+FAISS indexes on CPU; SURVEY.md §2.9). Design follows the TPU-KNN insight
+(PAPERS.md, arXiv:2206.14286): on TPU, exact search via one MXU matmul +
+``lax.top_k`` saturates the chip and beats approximate CPU indexes at these
+gallery sizes, so the "approximate" mode also returns exact results (a valid
+superset of IVF's recall contract, and deterministic).
+
+Semantics parity with faiss IndexFlat:
+* IP: scores are inner products, descending.
+* L2: scores are SQUARED Euclidean distances, ascending.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _search_block(gallery: jnp.ndarray, queries: jnp.ndarray, k: int,
+                  metric: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    q = queries.astype(jnp.float32)
+    g = gallery.astype(jnp.float32)
+    sim = q @ g.T  # MXU
+    if metric == "IP":
+        scores, idxs = jax.lax.top_k(sim, k)
+    else:  # L2: ||q-g||^2 = ||q||^2 + ||g||^2 - 2 q.g ; pick smallest
+        d2 = (jnp.sum(q * q, axis=1, keepdims=True)
+              + jnp.sum(g * g, axis=1)[None, :] - 2.0 * sim)
+        neg_scores, idxs = jax.lax.top_k(-d2, k)
+        scores = jnp.maximum(-neg_scores, 0.0)
+    return scores, idxs
+
+
+class TpuIndex:
+    """Exact flat index over a device-resident gallery."""
+
+    def __init__(self, vectors: np.ndarray, metric: str = "IP",
+                 query_block: int = 1024):
+        assert metric in ("IP", "L2")
+        self.metric = metric
+        self.query_block = query_block
+        self.gallery = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
+        self.ntotal = self.gallery.shape[0]
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        k = min(k, self.ntotal)
+        queries = np.ascontiguousarray(queries, np.float32)
+        n = queries.shape[0]
+        out_scores = np.empty((n, k), np.float32)
+        out_idxs = np.empty((n, k), np.int64)
+        block = self.query_block
+        for i in range(0, n, block):
+            q = jnp.asarray(queries[i:i + block])
+            s, ix = _search_block(self.gallery, q, k, self.metric)
+            out_scores[i:i + block] = np.asarray(s)
+            out_idxs[i:i + block] = np.asarray(ix)
+        return out_scores, out_idxs

@@ -1,0 +1,1 @@
+from torchok_tpu.export.stablehlo import StableHLOModel, export_task_model

@@ -1,0 +1,74 @@
+"""StableHLO model export/import.
+
+TPU-native replacement for the reference's ONNX export
+(reference: torchok/callbacks/checkpoint_onnx.py, torchok/tasks/onnx.py;
+SURVEY.md §7.6): the jitted inference function of a task is exported with
+``jax.export`` to a serialized StableHLO artifact plus the trained
+parameters, and can be reloaded and executed on any JAX backend without the
+model-building code.
+
+Artifact layout (directory with suffix .stablehlo):
+  model.shlo      — serialized jax.export.Exported bytes
+  params.msgpack  — flax-serialized inference variables
+  meta.json       — input names/shapes/dtypes
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def export_task_model(task, variables: Dict[str, Any], path: str,
+                      batch_size: Optional[int] = None,
+                      remove_head: bool = False) -> str:
+    """Export a task's inference forward to a StableHLO artifact."""
+    module = task.as_module()
+    infer_vars = {k: v for k, v in variables.items() if k != "buffers"}
+
+    def forward(vars_, image):
+        return module.apply(vars_, image, method=module.forward)
+
+    if not task.input_shapes:
+        raise ValueError("Task config has no `inputs` spec; cannot export")
+    shape = (batch_size or 1, *task.input_shapes[0])
+    example = jnp.zeros(shape, task.compute_dtype)
+
+    # polymorphic batch dimension so the artifact serves any batch size
+    from jax.export import symbolic_shape
+    b = symbolic_shape("b")
+    args_spec = jax.ShapeDtypeStruct((b[0], *shape[1:]), example.dtype)
+    vars_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), infer_vars)
+
+    exported = jax.export.export(jax.jit(forward))(vars_spec, args_spec)
+
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "model.shlo").write_bytes(exported.serialize())
+    (out / "params.msgpack").write_bytes(serialization.to_bytes(jax.device_get(infer_vars)))
+    meta = {
+        "input_shape": list(shape[1:]),
+        "input_dtype": str(np.dtype(example.dtype) if example.dtype != jnp.bfloat16 else "bfloat16"),
+        "batch_polymorphic": True,
+    }
+    (out / "meta.json").write_text(json.dumps(meta))
+    return str(out)
+
+
+class StableHLOModel:
+    """Loaded artifact: callable inference function + params."""
+
+    def __init__(self, path: str):
+        p = Path(path)
+        self.exported = jax.export.deserialize((p / "model.shlo").read_bytes())
+        self.variables = serialization.msgpack_restore((p / "params.msgpack").read_bytes())
+        self.meta = json.loads((p / "meta.json").read_text())
+
+    def __call__(self, image) -> Any:
+        return self.exported.call(self.variables, image)

@@ -192,7 +192,10 @@ class IndexBasedMeter(Metric):
                 b_cols = None if curr_query_col_idxs is None else curr_query_col_idxs[batch]
 
                 closest_scores, local_idxs = index.search(vectors[b_rows], k=k)
-                closest_idxs = gallery_idxs[local_idxs]
+                # map local gallery positions to global storage indexes,
+                # keeping faiss's -1 padding for k > gallery size
+                closest_idxs = np.where(local_idxs >= 0,
+                                        gallery_idxs[np.maximum(local_idxs, 0)], -1)
                 closest_scores = self.clear_search_output(closest_scores, b_as_rel)
                 closest_idxs = self.clear_search_output(closest_idxs, b_as_rel)
 

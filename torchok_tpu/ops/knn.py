@@ -50,15 +50,18 @@ class TpuIndex:
         self.ntotal = self.gallery.shape[0]
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        k = min(k, self.ntotal)
+        """faiss parity: when k > ntotal the extra columns are padded with
+        index -1 and the worst possible score."""
+        k_eff = min(k, self.ntotal)
         queries = np.ascontiguousarray(queries, np.float32)
         n = queries.shape[0]
-        out_scores = np.empty((n, k), np.float32)
-        out_idxs = np.empty((n, k), np.int64)
+        pad_score = -np.inf if self.metric == "IP" else np.inf
+        out_scores = np.full((n, k), pad_score, np.float32)
+        out_idxs = np.full((n, k), -1, np.int64)
         block = self.query_block
         for i in range(0, n, block):
             q = jnp.asarray(queries[i:i + block])
-            s, ix = _search_block(self.gallery, q, k, self.metric)
-            out_scores[i:i + block] = np.asarray(s)
-            out_idxs[i:i + block] = np.asarray(ix)
+            s, ix = _search_block(self.gallery, q, k_eff, self.metric)
+            out_scores[i:i + block, :k_eff] = np.asarray(s)
+            out_idxs[i:i + block, :k_eff] = np.asarray(ix)
         return out_scores, out_idxs

@@ -5,3 +5,4 @@ from torchok_tpu.tasks.pairwise_task import PairwiseLearnTask
 from torchok_tpu.tasks.simclr_task import SimCLRTask
 from torchok_tpu.tasks.triplet_task import TripletLearnTask
 from torchok_tpu.tasks.multihead_classification import MultiHeadClassificationTask
+from torchok_tpu.tasks.stablehlo_task import StableHLOTask, ONNXTask

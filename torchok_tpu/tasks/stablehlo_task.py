@@ -1,0 +1,58 @@
+"""StableHLO inference task (reference: torchok/tasks/onnx.py:16-131 — the
+ONNXTask that replays an exported model through the same datasets/metrics).
+
+Loads a .stablehlo artifact and runs test/predict through the standard
+engine: the exported computation executes directly on the current backend
+(TPU) with zero-copy device buffers — the equivalent of the reference's
+onnxruntime io_binding path, provided natively by jax.export.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from torchok_tpu.constructor import TASKS
+from torchok_tpu.constructor.config import ConfigNode
+from torchok_tpu.tasks.base import BaseTask
+
+
+class _ExportedModule(nn.Module):
+    """Adapter presenting the exported callable through the task-module API."""
+    runner: Any  # StableHLOModel (host object; not a pytree of params)
+
+    def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, Any]:
+        prediction = self.runner(batch["image"])
+        output = {"prediction": prediction, "embeddings": prediction}
+        if batch.get("target") is not None:
+            output["target"] = batch["target"]
+        return output
+
+    def forward(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self.runner(image)
+
+
+@TASKS.register_class
+class StableHLOTask(BaseTask):
+    def __init__(self, hparams: ConfigNode, model_path: str,
+                 inputs: Optional[list] = None, **kwargs):
+        super().__init__(hparams, **kwargs)
+        from torchok_tpu.export.stablehlo import StableHLOModel
+        self.runner = StableHLOModel(model_path)
+        self.model = _ExportedModule(runner=self.runner)
+
+    def init_variables(self, rng, batch=None):
+        return {"params": {}}
+
+    def apply_model(self, variables, batch, train, rngs=None, mutable=()):
+        out = self.model(batch, train=train)
+        return out, {}
+
+    def as_module(self) -> nn.Module:
+        return self.model
+
+
+@TASKS.register_class(name="ONNXTask")
+class ONNXTask(StableHLOTask):
+    """Name-parity alias: the TPU build replays StableHLO artifacts."""

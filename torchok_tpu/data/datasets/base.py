@@ -69,7 +69,8 @@ class ImageDataset(ABC):
         if transform is not None:
             combined.extend(transform.transforms)
         full = Compose(combined, p=1.0)
-        self._host_pipeline, device_suffix = full.split_device_suffix()
+        self._host_pipeline, device_suffix = full.split_device_suffix(
+            bbox_mode=getattr(self, "has_bboxes", False))
         self.device_pipeline = DeviceTransformPipeline(device_suffix)
 
     @staticmethod

@@ -28,6 +28,9 @@ class BaseTransform:
 
     # True when apply_batch (jnp, NHWC batch) is implemented
     device_capable: bool = False
+    # False for device ops that change geometry (flips) and would need to
+    # update bboxes — excluded from the device suffix for bbox datasets
+    device_bbox_safe: bool = True
     # True when the op is deterministic (p is ignored / always applied)
     always_apply: bool = False
 
@@ -93,10 +96,13 @@ class Compose(BaseTransform):
             sample = t(**sample)
         return sample
 
-    def split_device_suffix(self) -> Tuple["Compose", List[BaseTransform]]:
-        """Split into (host prefix, device-capable suffix)."""
+    def split_device_suffix(self, bbox_mode: bool = False) -> Tuple["Compose", List[BaseTransform]]:
+        """Split into (host prefix, device-capable suffix). In bbox_mode only
+        geometry-preserving device ops may move to the device."""
+        def ok(t):
+            return t.device_capable and (not bbox_mode or t.device_bbox_safe)
         split = len(self.transforms)
-        while split > 0 and self.transforms[split - 1].device_capable:
+        while split > 0 and ok(self.transforms[split - 1]):
             split -= 1
         host = Compose(self.transforms[:split], p=1.0)
         return host, self.transforms[split:]

@@ -85,6 +85,7 @@ class ToTensorV2(BaseTransform):
 @TRANSFORMS.register_class
 class HorizontalFlip(BaseTransform):
     device_capable = True
+    device_bbox_safe = False
 
     def apply(self, image, **params):
         return np.ascontiguousarray(image[:, ::-1])
@@ -107,6 +108,7 @@ class HorizontalFlip(BaseTransform):
 @TRANSFORMS.register_class
 class VerticalFlip(BaseTransform):
     device_capable = True
+    device_bbox_safe = False
 
     def apply(self, image, **params):
         return np.ascontiguousarray(image[::-1])

@@ -46,7 +46,10 @@ class Resize(BaseTransform):
         return _resize(mask, self.height, self.width, cv2.INTER_NEAREST)
 
     def apply_to_bboxes(self, bboxes, image_shape, **params):
-        return bboxes  # normalized coords are scale invariant
+        # pixel xyxy convention (detection datasets)
+        h, w = image_shape[:2]
+        scale = np.array([self.width / w, self.height / h] * 2, np.float32)
+        return np.asarray(bboxes, np.float32) * scale
 
 
 @TRANSFORMS.register_class

@@ -197,7 +197,7 @@ class Trainer:
     # step functions
     # ------------------------------------------------------------------
     def _make_train_step(self, task, tx):
-        joint_loss = task.losses
+        compute_loss = task.compute_loss
         model = task.model
         dropout_key = jax.random.PRNGKey(self.seed + 7)
 
@@ -220,7 +220,7 @@ class Trainer:
                 else:
                     outputs = model.apply(variables, batch, train=True, rngs=rngs)
                     new_vars = {}
-                total, tagged = joint_loss(**outputs)
+                total, tagged = compute_loss(outputs)
                 return total, (outputs, new_vars, tagged)
 
             (loss, (outputs, new_vars, tagged)), grads = \
@@ -247,15 +247,16 @@ class Trainer:
         return train_step
 
     def _make_eval_step(self, task, with_loss: bool):
-        joint_loss = task.losses
+        compute_loss = task.compute_loss
         model = task.model
+        has_losses = task.losses is not None
 
         @jax.jit
         def eval_step(state: TrainState, batch):
             outputs = model.apply(state.variables, batch, train=False)
             losses = {}
-            if with_loss and joint_loss is not None:
-                total, tagged = joint_loss(**outputs)
+            if with_loss and has_losses:
+                total, tagged = compute_loss(outputs)
                 losses = {"loss": total, **tagged}
             return outputs, losses
 

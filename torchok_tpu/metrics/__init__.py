@@ -4,3 +4,4 @@ import torchok_tpu.metrics.classification  # noqa: F401
 import torchok_tpu.metrics.regression  # noqa: F401
 import torchok_tpu.metrics.representation  # noqa: F401
 import torchok_tpu.metrics.image  # noqa: F401
+import torchok_tpu.metrics.detection  # noqa: F401

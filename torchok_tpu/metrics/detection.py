@@ -1,0 +1,126 @@
+"""Detection mAP metric (reference: torchok/metrics/detection.py:12-63 wraps
+mmdet eval_map; implemented natively: VOC-style AP with greedy IoU matching,
+computed host-side over accumulated padded arrays).
+
+Update signature (mapping keys in YAML):
+  prediction_bboxes (B, D, 4), prediction_scores (B, D),
+  prediction_labels (B, D) with -1 padding;
+  gt_bboxes (B, M, 4), gt_labels (B, M) with -1 padding.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from torchok_tpu.constructor import METRICS
+from torchok_tpu.metrics.base import Metric
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(a[:, 3] - a[:, 1], 0, None)
+    area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(b[:, 3] - b[:, 1], 0, None)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def _average_precision(recalls: np.ndarray, precisions: np.ndarray,
+                       mode: str = "area") -> float:
+    if mode == "area":
+        mrec = np.concatenate([[0.0], recalls, [1.0]])
+        mpre = np.concatenate([[0.0], precisions, [0.0]])
+        for i in range(len(mpre) - 2, -1, -1):
+            mpre[i] = max(mpre[i], mpre[i + 1])
+        idx = np.where(mrec[1:] != mrec[:-1])[0]
+        return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+    # 11-point
+    ap = 0.0
+    for t in np.linspace(0, 1, 11):
+        mask = recalls >= t
+        ap += (np.max(precisions[mask]) if mask.any() else 0.0) / 11
+    return float(ap)
+
+
+@METRICS.register_class(name="MMDetectionMAP")
+class MMDetectionMAP(Metric):
+    jittable_update = False
+
+    def __init__(self, iou_thr: float = 0.5, num_classes: Optional[int] = None,
+                 nproc: int = 4, mode: str = "area", **params):
+        super().__init__(**params)
+        self.iou_thr = iou_thr
+        self.num_classes = num_classes
+        self.mode = mode
+
+    def empty_state(self):
+        return {"preds": [], "gts": []}
+
+    def update(self, state, prediction_bboxes=None, prediction_scores=None,
+               prediction_labels=None, gt_bboxes=None, gt_labels=None, **_):
+        state["preds"].append((np.asarray(prediction_bboxes, np.float32),
+                               np.asarray(prediction_scores, np.float32),
+                               np.asarray(prediction_labels)))
+        state["gts"].append((np.asarray(gt_bboxes, np.float32),
+                             np.asarray(gt_labels)))
+        return state
+
+    def compute(self, state) -> float:
+        # flatten per-image entries, stripping padding
+        images = []
+        for (pb, ps, pl), (gb, gl) in zip(state["preds"], state["gts"]):
+            for i in range(pb.shape[0]):
+                keep_p = (pl[i] >= 0) & (ps[i] > 0)
+                keep_g = gl[i] >= 0
+                images.append((pb[i][keep_p], ps[i][keep_p], pl[i][keep_p],
+                               gb[i][keep_g], gl[i][keep_g]))
+        if not images:
+            return 0.0
+
+        all_labels = set()
+        for _, _, pl, _, gl in images:
+            all_labels.update(pl.tolist())
+            all_labels.update(gl.tolist())
+        classes = sorted(all_labels) if self.num_classes is None \
+            else list(range(self.num_classes))
+
+        aps = []
+        for cls in classes:
+            scores_all, tp_all = [], []
+            n_gt = 0
+            for pb, ps, pl, gb, gl in images:
+                p_mask = pl == cls
+                g_mask = gl == cls
+                boxes, scores = pb[p_mask], ps[p_mask]
+                gts = gb[g_mask]
+                n_gt += len(gts)
+                order = np.argsort(-scores)
+                boxes, scores = boxes[order], scores[order]
+                matched = np.zeros(len(gts), bool)
+                tp = np.zeros(len(boxes), np.float32)
+                ious = _iou_matrix(boxes, gts)
+                for d in range(len(boxes)):
+                    if len(gts):
+                        j = int(np.argmax(ious[d]))
+                        if ious[d, j] >= self.iou_thr and not matched[j]:
+                            matched[j] = True
+                            tp[d] = 1.0
+                scores_all.append(scores)
+                tp_all.append(tp)
+            if n_gt == 0:
+                continue
+            scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
+            tp_cat = np.concatenate(tp_all) if tp_all else np.zeros(0)
+            order = np.argsort(-scores_cat)
+            tp_sorted = tp_cat[order]
+            tps = np.cumsum(tp_sorted)
+            fps = np.cumsum(1 - tp_sorted)
+            recalls = tps / n_gt
+            precisions = tps / np.maximum(tps + fps, 1e-9)
+            aps.append(_average_precision(recalls, precisions, self.mode))
+        return float(np.mean(aps)) if aps else 0.0

@@ -136,6 +136,14 @@ class BaseTask:
             )
         return variables
 
+    def compute_loss(self, outputs: Dict[str, Any]):
+        """Map step outputs to the joint loss. Detection tasks override this
+        to route through the head (control inversion, reference
+        detection.py:130-140)."""
+        if self.losses is None:
+            return jnp.zeros(()), {}
+        return self.losses(**outputs)
+
     def as_module(self) -> nn.Module:
         """Pure-forward module for export (abstract in reference base.py:201)."""
         raise NotImplementedError

@@ -1,0 +1,94 @@
+"""SingleStageDetectionTask (reference: torchok/tasks/detection.py:13-173).
+
+backbone features[-num_scales:] -> detection neck -> bbox head. Control
+inversion preserved: the head owns loss computation via
+``bbox_head.loss(joint_loss, **outputs)`` (reference detection.py:130-140)
+and box decoding via ``get_bboxes``. Predictions are decoded in the eval
+path only (train-time decoding every step is the reference's behavior but a
+pure metric cost; our MAP metric consumes padded arrays).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from torchok_tpu.constructor import BACKBONES, DETECTION_NECKS, HEADS, TASKS
+from torchok_tpu.constructor.config import ConfigNode
+from torchok_tpu.tasks.base import BaseTask
+
+
+class DetectionModel(nn.Module):
+    backbone: nn.Module
+    neck: nn.Module
+    bbox_head: nn.Module
+    num_scales: int = 4
+    decode_predictions: bool = False
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, Any]:
+        x = batch["image"]
+        features = self.backbone.forward_features(x, train=train)[-self.num_scales:]
+        neck_out = self.neck(features, train=train)
+        head_out = self.bbox_head(neck_out, train=train)
+        output = self.bbox_head.format_dict(head_out)
+        output["img_shape"] = jnp.asarray(x.shape[1:3])
+        if "bboxes" in batch:
+            output["gt_bboxes"] = batch["bboxes"]
+            output["gt_labels"] = batch["label"]
+        if not train or self.decode_predictions:
+            preds = self.bbox_head.get_bboxes(
+                output["cls_scores"], output["bbox_preds"],
+                output.get("centernesses"), img_shape=tuple(x.shape[1:3]))
+            output["prediction_bboxes"] = preds["bboxes"]
+            output["prediction_scores"] = preds["scores"]
+            output["prediction_labels"] = preds["labels"]
+        return output
+
+    def forward(self, image: jnp.ndarray):
+        features = self.backbone.forward_features(image, train=False)[-self.num_scales:]
+        neck_out = self.neck(features, train=False)
+        head_out = self.bbox_head(neck_out, train=False)
+        output = self.bbox_head.format_dict(head_out)
+        preds = self.bbox_head.get_bboxes(
+            output["cls_scores"], output["bbox_preds"],
+            output.get("centernesses"), img_shape=tuple(image.shape[1:3]))
+        return preds["bboxes"], preds["scores"], preds["labels"]
+
+
+@TASKS.register_class
+class SingleStageDetectionTask(BaseTask):
+    def __init__(self, hparams: ConfigNode, backbone_name: str, neck_name: str,
+                 head_name: str, num_scales: int = 4,
+                 backbone_params: Optional[dict] = None,
+                 neck_params: Optional[dict] = None,
+                 head_params: Optional[dict] = None,
+                 inputs: Optional[list] = None, **kwargs):
+        super().__init__(hparams, **kwargs)
+        dtype = self.compute_dtype
+
+        bp = dict(backbone_params or {})
+        self.pretrained_name = backbone_name if bp.get("pretrained") else None
+        self._backbone = BACKBONES.get(backbone_name)(**{**bp, "dtype": dtype})
+
+        np_ = dict(neck_params or {})
+        enc = tuple(self._backbone.out_encoder_channels)[-num_scales:]
+        neck = DETECTION_NECKS.get(neck_name)(in_channels=enc, dtype=dtype,
+                                              **{k: v for k, v in np_.items()
+                                                 if k != "in_channels"})
+
+        hp = dict(head_params or {})
+        hp.setdefault("in_channels", neck.out_channels)
+        self.bbox_head = HEADS.get(head_name)(dtype=dtype, **hp)
+
+        self.model = DetectionModel(backbone=self._backbone, neck=neck,
+                                    bbox_head=self.bbox_head,
+                                    num_scales=num_scales)
+
+    def compute_loss(self, outputs: Dict[str, Any]):
+        """Head-owned loss routing (reference detection.py:133)."""
+        return self.bbox_head.loss(self.losses, **outputs)
+
+    def as_module(self) -> nn.Module:
+        return self.model

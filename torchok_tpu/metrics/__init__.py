@@ -5,3 +5,4 @@ import torchok_tpu.metrics.regression  # noqa: F401
 import torchok_tpu.metrics.representation  # noqa: F401
 import torchok_tpu.metrics.image  # noqa: F401
 import torchok_tpu.metrics.detection  # noqa: F401
+import torchok_tpu.metrics.representation_torchmetrics  # noqa: F401

@@ -1,1 +1,2 @@
 from torchok_tpu.models.heads.detection.fcos import FCOSHead
+from torchok_tpu.models.heads.detection.detr import DETRHead

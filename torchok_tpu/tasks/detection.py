@@ -39,8 +39,8 @@ class DetectionModel(nn.Module):
             output["gt_labels"] = batch["label"]
         if not train or self.decode_predictions:
             preds = self.bbox_head.get_bboxes(
-                output["cls_scores"], output["bbox_preds"],
-                output.get("centernesses"), img_shape=tuple(x.shape[1:3]))
+                **self.bbox_head.format_dict(head_out),
+                img_shape=tuple(x.shape[1:3]))
             output["prediction_bboxes"] = preds["bboxes"]
             output["prediction_scores"] = preds["scores"]
             output["prediction_labels"] = preds["labels"]
@@ -50,10 +50,9 @@ class DetectionModel(nn.Module):
         features = self.backbone.forward_features(image, train=False)[-self.num_scales:]
         neck_out = self.neck(features, train=False)
         head_out = self.bbox_head(neck_out, train=False)
-        output = self.bbox_head.format_dict(head_out)
         preds = self.bbox_head.get_bboxes(
-            output["cls_scores"], output["bbox_preds"],
-            output.get("centernesses"), img_shape=tuple(image.shape[1:3]))
+            **self.bbox_head.format_dict(head_out),
+            img_shape=tuple(image.shape[1:3]))
         return preds["bboxes"], preds["scores"], preds["labels"]
 
 

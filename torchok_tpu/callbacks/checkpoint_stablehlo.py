@@ -36,3 +36,8 @@ class CheckpointStableHLO(ModelCheckpoint):
 @CALLBACKS.register_class(name="CheckpointONNX")
 class CheckpointONNX(CheckpointStableHLO):
     """Name-parity alias: the TPU build exports StableHLO, not ONNX."""
+
+
+@CALLBACKS.register_class(name="ModelCheckpointWithOnnx")
+class ModelCheckpointWithOnnx(CheckpointStableHLO):
+    """Name-parity alias used by the reference SOP recipes."""

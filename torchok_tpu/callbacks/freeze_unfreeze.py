@@ -64,6 +64,8 @@ class FreezeUnfreeze(Callback):
 
     def _frozen_prefixes(self, task, policy: Dict) -> List[str]:
         module_name = policy.get("module_name", "") or ""
+        if policy.get("stage") is not None and "stages" not in policy:
+            policy = {**policy, "stages": policy["stage"]}  # both spellings appear in reference recipes
         if "stages" in policy and policy["stages"] is not None:
             backbone = getattr(task, "_backbone", None)
             if backbone is None:

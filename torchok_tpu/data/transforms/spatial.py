@@ -359,3 +359,195 @@ class RandomScale(BaseTransform):
     def apply_to_mask(self, mask, scale=1.0, **params):
         h, w = mask.shape[:2]
         return _resize(mask, round(h * scale), round(w * scale), cv2.INTER_NEAREST)
+
+
+def _remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
+           interpolation=_INTERP, border_mode=cv2.BORDER_REFLECT_101) -> np.ndarray:
+    out = cv2.remap(img, map_x, map_y, interpolation=interpolation,
+                    borderMode=border_mode)
+    if out.ndim == 2 and img.ndim == 3:
+        out = out[..., None]
+    return out
+
+
+@TRANSFORMS.register_class
+class ElasticTransform(BaseTransform):
+    """Elastic deformation via a gaussian-smoothed random displacement field."""
+
+    def __init__(self, alpha: float = 1.0, sigma: float = 50.0,
+                 alpha_affine: float = 50.0, interpolation: int = _INTERP,
+                 border_mode: int = cv2.BORDER_REFLECT_101, value=None,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.alpha = alpha
+        self.sigma = sigma
+        self.interpolation = interpolation
+        self.border_mode = border_mode
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        dx = self.rng.uniform(-1, 1, (h, w)).astype(np.float32)
+        dy = self.rng.uniform(-1, 1, (h, w)).astype(np.float32)
+        k = int(3 * self.sigma) | 1
+        dx = cv2.GaussianBlur(dx, (k, k), self.sigma) * self.alpha
+        dy = cv2.GaussianBlur(dy, (k, k), self.sigma) * self.alpha
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        return {"map_x": (xs + dx).astype(np.float32),
+                "map_y": (ys + dy).astype(np.float32)}
+
+    def apply(self, image, map_x=None, map_y=None, **params):
+        return _remap(image, map_x, map_y, self.interpolation, self.border_mode)
+
+    def apply_to_mask(self, mask, map_x=None, map_y=None, **params):
+        return _remap(mask, map_x, map_y, cv2.INTER_NEAREST, self.border_mode)
+
+
+@TRANSFORMS.register_class
+class GridDistortion(BaseTransform):
+    """Per-grid-cell random stretch of the coordinate grid."""
+
+    def __init__(self, num_steps: int = 5, distort_limit: float = 0.3,
+                 interpolation: int = _INTERP,
+                 border_mode: int = cv2.BORDER_REFLECT_101, value=None,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.num_steps = num_steps
+        self.distort_limit = (-distort_limit, distort_limit) \
+            if isinstance(distort_limit, (int, float)) else tuple(distort_limit)
+        self.interpolation = interpolation
+        self.border_mode = border_mode
+
+    def _axis_map(self, size: int) -> np.ndarray:
+        steps = 1 + self.rng.uniform(*self.distort_limit, self.num_steps + 1)
+        step = size // self.num_steps
+        coords = np.zeros(size, np.float32)
+        prev, x = 0.0, 0
+        for i in range(self.num_steps + 1):
+            start = x
+            end = min(x + step, size)
+            cur = prev + step * steps[i]
+            coords[start:end] = np.linspace(prev, cur, end - start, endpoint=False)
+            prev = cur
+            x = end
+        if x < size:
+            coords[x:] = prev
+        return coords
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        xs = self._axis_map(w)
+        ys = self._axis_map(h)
+        map_x, map_y = np.meshgrid(xs, ys)
+        return {"map_x": map_x.astype(np.float32), "map_y": map_y.astype(np.float32)}
+
+    def apply(self, image, map_x=None, map_y=None, **params):
+        return _remap(image, map_x, map_y, self.interpolation, self.border_mode)
+
+    def apply_to_mask(self, mask, map_x=None, map_y=None, **params):
+        return _remap(mask, map_x, map_y, cv2.INTER_NEAREST, self.border_mode)
+
+
+@TRANSFORMS.register_class
+class OpticalDistortion(BaseTransform):
+    """Barrel/pincushion distortion via cv2 undistort maps."""
+
+    def __init__(self, distort_limit: float = 0.05, shift_limit: float = 0.05,
+                 interpolation: int = _INTERP,
+                 border_mode: int = cv2.BORDER_REFLECT_101, value=None,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        def _pair(v):
+            return (-v, v) if isinstance(v, (int, float)) else tuple(v)
+        self.distort_limit = _pair(distort_limit)
+        self.shift_limit = _pair(shift_limit)
+        self.interpolation = interpolation
+        self.border_mode = border_mode
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        k = float(self.rng.uniform(*self.distort_limit))
+        dx = float(self.rng.uniform(*self.shift_limit)) * w
+        dy = float(self.rng.uniform(*self.shift_limit)) * h
+        cam = np.array([[w, 0, w / 2 + dx], [0, h, h / 2 + dy], [0, 0, 1]], np.float32)
+        dist = np.array([k, k, 0, 0, 0], np.float32)
+        map_x, map_y = cv2.initUndistortRectifyMap(cam, dist, None, None, (w, h),
+                                                   cv2.CV_32FC1)
+        return {"map_x": map_x, "map_y": map_y}
+
+    def apply(self, image, map_x=None, map_y=None, **params):
+        return _remap(image, map_x, map_y, self.interpolation, self.border_mode)
+
+    def apply_to_mask(self, mask, map_x=None, map_y=None, **params):
+        return _remap(mask, map_x, map_y, cv2.INTER_NEAREST, self.border_mode)
+
+
+@TRANSFORMS.register_class
+class Perspective(BaseTransform):
+    def __init__(self, scale=(0.05, 0.1), interpolation: int = _INTERP,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.scale = (0, scale) if isinstance(scale, (int, float)) else tuple(scale)
+        self.interpolation = interpolation
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        s = self.rng.uniform(*self.scale)
+        src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+        jitter = self.rng.uniform(-s, s, (4, 2)).astype(np.float32) * [w, h]
+        dst = src + jitter
+        return {"matrix": cv2.getPerspectiveTransform(src, dst.astype(np.float32))}
+
+    def apply(self, image, matrix=None, **params):
+        h, w = image.shape[:2]
+        return cv2.warpPerspective(image, matrix, (w, h), flags=self.interpolation)
+
+    def apply_to_mask(self, mask, matrix=None, **params):
+        h, w = mask.shape[:2]
+        return cv2.warpPerspective(mask, matrix, (w, h), flags=cv2.INTER_NEAREST)
+
+
+@TRANSFORMS.register_class
+class Affine(BaseTransform):
+    def __init__(self, scale=None, translate_percent=None, rotate=None, shear=None,
+                 interpolation: int = _INTERP, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        def _pair(v, default):
+            if v is None:
+                return default
+            if isinstance(v, (int, float)):
+                return (-v, v) if default[0] < 0 else (1 - v, 1 + v)
+            if isinstance(v, dict):
+                return tuple(v.get("x", default))
+            return tuple(v)
+        self.scale = _pair(scale, (1.0, 1.0))
+        self.translate = _pair(translate_percent, (0.0, 0.0))
+        self.rotate = _pair(rotate, (-0.0, 0.0))
+        self.shear = _pair(shear, (-0.0, 0.0))
+        self.interpolation = interpolation
+
+    def get_params(self, sample):
+        return {
+            "sc": float(self.rng.uniform(*self.scale)) if self.scale != (1.0, 1.0) else 1.0,
+            "tx": float(self.rng.uniform(*self.translate)),
+            "ty": float(self.rng.uniform(*self.translate)),
+            "ang": float(self.rng.uniform(*self.rotate)),
+            "sh": float(self.rng.uniform(*self.shear)),
+        }
+
+    def _matrix(self, h, w, sc, tx, ty, ang, sh):
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), ang, sc)
+        m[0, 2] += tx * w
+        m[1, 2] += ty * h
+        m[0, 1] += np.tan(np.deg2rad(sh))
+        return m
+
+    def apply(self, image, sc=1.0, tx=0.0, ty=0.0, ang=0.0, sh=0.0, **params):
+        h, w = image.shape[:2]
+        return cv2.warpAffine(image, self._matrix(h, w, sc, tx, ty, ang, sh),
+                              (w, h), flags=self.interpolation)
+
+    def apply_to_mask(self, mask, sc=1.0, tx=0.0, ty=0.0, ang=0.0, sh=0.0, **params):
+        h, w = mask.shape[:2]
+        return cv2.warpAffine(mask, self._matrix(h, w, sc, tx, ty, ang, sh),
+                              (w, h), flags=cv2.INTER_NEAREST)

@@ -110,10 +110,11 @@ class CrossEntropySigmoidLoss:
     """mmdet CrossEntropyLoss(use_sigmoid=True) — BCE used for centerness."""
 
     def __init__(self, use_sigmoid: bool = True, reduction: str = "mean",
-                 loss_weight: float = 1.0):
+                 loss_weight: float = 1.0, class_weight: Optional[float] = None):
         self.use_sigmoid = use_sigmoid
         self.reduction = reduction
         self.loss_weight = loss_weight
+        self.class_weight = class_weight  # scalar class weight (mmdet DETR cfg)
 
     def __call__(self, cls_score: jnp.ndarray, label: jnp.ndarray,
                  weight: Optional[jnp.ndarray] = None,

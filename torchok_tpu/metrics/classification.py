@@ -56,7 +56,10 @@ class StatScoresMetric(Metric):
     @property
     def _n(self) -> int:
         if self.task == "multiclass":
-            return self.num_classes
+            # num_classes omitted (old torchmetrics-style global accuracy):
+            # fall back to a single micro bucket; class count is inferred from
+            # preds at update time
+            return self.num_classes if self.num_classes is not None else 1
         if self.task == "multilabel":
             return self.num_labels
         return 1
@@ -66,6 +69,14 @@ class StatScoresMetric(Metric):
 
     def update(self, state, preds: jnp.ndarray, target: jnp.ndarray, **_):
         n = self._n
+        if self.task == "multiclass" and self.num_classes is None:
+            # global micro accuracy bucket
+            hard = jnp.argmax(preds, axis=-1) if preds.ndim >= 2 else preds
+            correct = jnp.sum(hard.reshape(-1) == target.reshape(-1)).astype(jnp.float32)
+            total = jnp.asarray(target.size, jnp.float32)
+            delta = jnp.stack([correct, total - correct,
+                               jnp.zeros(()), total - correct])[None]
+            return {"stats": state["stats"] + delta}
         if self.task == "multiclass":
             hard = _binarize_preds(preds, self.task, self.threshold, n)
             tgt = target.astype(jnp.int32)

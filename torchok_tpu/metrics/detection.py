@@ -62,7 +62,15 @@ class MMDetectionMAP(Metric):
         return {"preds": [], "gts": []}
 
     def update(self, state, prediction_bboxes=None, prediction_scores=None,
-               prediction_labels=None, gt_bboxes=None, gt_labels=None, **_):
+               prediction_labels=None, gt_bboxes=None, gt_labels=None,
+               preds=None, target=None, **_):
+        if preds is not None:  # reference-style dict mapping (preds/target)
+            prediction_bboxes = preds["bboxes"]
+            prediction_scores = preds["scores"]
+            prediction_labels = preds["labels"]
+        if target is not None:
+            gt_bboxes = target["bboxes"]
+            gt_labels = target["labels"]
         state["preds"].append((np.asarray(prediction_bboxes, np.float32),
                                np.asarray(prediction_scores, np.float32),
                                np.asarray(prediction_labels)))
@@ -124,3 +132,104 @@ class MMDetectionMAP(Metric):
             precisions = tps / np.maximum(tps + fps, 1e-9)
             aps.append(_average_precision(recalls, precisions, self.mode))
         return float(np.mean(aps)) if aps else 0.0
+
+
+@METRICS.register_class(name="CocoEvalMAP")
+class CocoEvalMAP(MMDetectionMAP):
+    """COCO-style mAP (reference: torchok/metrics/torchmetric_060/map.py:130 —
+    the vendored torchmetrics-0.6 MeanAveragePrecision over pycocotools).
+    Natively computed: AP averaged over IoU 0.5:0.95:0.05 with 101-point
+    interpolation, plus per-size-bucket variants; ``displayed_metrics``
+    selects the returned keys."""
+
+    _AREAS = {"small": (0, 32 ** 2), "medium": (32 ** 2, 96 ** 2),
+              "large": (96 ** 2, float("inf")), "all": (0, float("inf"))}
+
+    def __init__(self, displayed_metrics=("map",), compute_on_step=False,
+                 num_classes=None, **params):
+        super().__init__(num_classes=num_classes)
+        self.displayed_metrics = list(displayed_metrics)
+
+    def _map_at(self, images, iou_thr, area_rng):
+        lo, hi = area_rng
+        aps = []
+        all_labels = set()
+        for _, _, pl, _, gl in images:
+            all_labels.update(gl.tolist())
+        for cls in sorted(all_labels):
+            scores_all, tp_all = [], []
+            n_gt = 0
+            for pb, ps, pl, gb, gl in images:
+                g_mask = gl == cls
+                gts = gb[g_mask]
+                g_area = np.clip(gts[:, 2] - gts[:, 0], 0, None) * \
+                    np.clip(gts[:, 3] - gts[:, 1], 0, None)
+                in_rng = (g_area >= lo) & (g_area < hi)
+                gts = gts[in_rng]
+                n_gt += len(gts)
+                p_mask = pl == cls
+                boxes, scores = pb[p_mask], ps[p_mask]
+                b_area = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * \
+                    np.clip(boxes[:, 3] - boxes[:, 1], 0, None)
+                keep = (b_area >= lo) & (b_area < hi)
+                boxes, scores = boxes[keep], scores[keep]
+                order = np.argsort(-scores)
+                boxes, scores = boxes[order], scores[order]
+                matched = np.zeros(len(gts), bool)
+                tp = np.zeros(len(boxes), np.float32)
+                ious = _iou_matrix(boxes, gts)
+                for d in range(len(boxes)):
+                    if len(gts):
+                        j = int(np.argmax(ious[d]))
+                        if ious[d, j] >= iou_thr and not matched[j]:
+                            matched[j] = True
+                            tp[d] = 1.0
+                scores_all.append(scores)
+                tp_all.append(tp)
+            if n_gt == 0:
+                continue
+            scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
+            tp_cat = np.concatenate(tp_all) if tp_all else np.zeros(0)
+            order = np.argsort(-scores_cat)
+            tp_sorted = tp_cat[order]
+            tps = np.cumsum(tp_sorted)
+            fps = np.cumsum(1 - tp_sorted)
+            recalls = tps / n_gt
+            precisions = tps / np.maximum(tps + fps, 1e-9)
+            # COCO 101-point interpolation
+            mpre = precisions.copy()
+            for i in range(len(mpre) - 2, -1, -1):
+                mpre[i] = max(mpre[i], mpre[i + 1])
+            rc_points = np.linspace(0, 1, 101)
+            idxs = np.searchsorted(recalls, rc_points, side="left")
+            ap = float(np.mean([mpre[i] if i < len(mpre) else 0.0 for i in idxs]))
+            aps.append(ap)
+        return float(np.mean(aps)) if aps else 0.0
+
+    def compute(self, state):
+        images = []
+        for (pb, ps, pl), (gb, gl) in zip(state["preds"], state["gts"]):
+            for i in range(pb.shape[0]):
+                keep_p = (pl[i] >= 0) & (ps[i] > 0)
+                keep_g = gl[i] >= 0
+                images.append((pb[i][keep_p], ps[i][keep_p], pl[i][keep_p],
+                               gb[i][keep_g], gl[i][keep_g]))
+        if not images:
+            return {m: 0.0 for m in self.displayed_metrics}
+        iou_thrs = np.arange(0.5, 1.0, 0.05)
+        out = {}
+        for key in self.displayed_metrics:
+            if key == "map":
+                vals = [self._map_at(images, t, self._AREAS["all"]) for t in iou_thrs]
+            elif key == "map_50":
+                vals = [self._map_at(images, 0.5, self._AREAS["all"])]
+            elif key == "map_75":
+                vals = [self._map_at(images, 0.75, self._AREAS["all"])]
+            elif key.startswith("map_"):
+                bucket = key.split("_", 1)[1]
+                vals = [self._map_at(images, t, self._AREAS.get(bucket, self._AREAS["all"]))
+                        for t in iou_thrs]
+            else:
+                vals = [0.0]
+            out[key] = float(np.mean(vals))
+        return out

@@ -76,6 +76,16 @@ MOBILENETV2_ARCH = (
     ("ir", 1, 3, 1, 6.0, 320, 0.0),
 )
 
+MNASNET_A1_ARCH = (
+    ("ds", 1, 3, 1, 1.0, 16, 0.0),
+    ("ir", 2, 3, 2, 6.0, 24, 0.0),
+    ("ir", 3, 5, 2, 3.0, 40, 0.25),
+    ("ir", 4, 3, 2, 6.0, 80, 0.0),
+    ("ir", 2, 3, 1, 6.0, 112, 0.25),
+    ("ir", 3, 5, 2, 6.0, 160, 0.25),
+    ("ir", 1, 3, 1, 6.0, 320, 0.0),
+)
+
 MNASNET_B1_ARCH = (
     ("ds", 1, 3, 1, 1.0, 16, 0.0),
     ("ir", 3, 3, 2, 3.0, 24, 0.0),
@@ -250,6 +260,9 @@ _VARIANTS = {
     "mobilenetv2_140": dict(arch=MOBILENETV2_ARCH, act="relu6", stem_size=32,
                             width_mult=1.4),
     "mnasnet_100": dict(arch=MNASNET_B1_ARCH, act="relu", stem_size=32),
+    "semnasnet_075": dict(arch=MNASNET_A1_ARCH, act="relu", stem_size=32, width_mult=0.75),
+    "semnasnet_100": dict(arch=MNASNET_A1_ARCH, act="relu", stem_size=32),
+    "semnasnet_140": dict(arch=MNASNET_A1_ARCH, act="relu", stem_size=32, width_mult=1.4),
     "mnasnet_small": dict(arch=MNASNET_B1_ARCH, act="relu", stem_size=8,
                           width_mult=0.5),
     "tinynet_a": _b(1.0, 1.2),

@@ -377,3 +377,31 @@ _VARIANTS = {
 
 for _name, _cfg in _VARIANTS.items():
     _make_entry(_name, **_cfg)
+
+
+# Weight-variant aliases (reference registers ssl/swsl/ig/tv-prefixed
+# entrypoints whose architecture equals a base variant; they differ only in
+# pretrained weight provenance, resolved via the local weight cache here).
+_WEIGHT_ALIASES = {
+    "ssl_resnet18": "resnet18", "swsl_resnet18": "resnet18",
+    "ssl_resnet50": "resnet50", "swsl_resnet50": "resnet50",
+    "tv_resnet34": "resnet34", "tv_resnet50": "resnet50",
+    "tv_resnet101": "resnet101", "tv_resnet152": "resnet152",
+    "ssl_resnext50_32x4d": "resnext50_32x4d",
+    "swsl_resnext50_32x4d": "resnext50_32x4d",
+    "tv_resnext50_32x4d": "resnext50_32x4d",
+    "ssl_resnext101_32x4d": "resnext101_32x4d",
+    "swsl_resnext101_32x4d": "resnext101_32x4d",
+    "ssl_resnext101_32x8d": "resnext101_32x8d",
+    "swsl_resnext101_32x8d": "resnext101_32x8d",
+    "ig_resnext101_32x8d": "resnext101_32x8d",
+    "ssl_resnext101_32x16d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32, base_width=16),
+    "swsl_resnext101_32x16d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32, base_width=16),
+    "ig_resnext101_32x16d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32, base_width=16),
+    "ig_resnext101_32x32d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32, base_width=32),
+    "ig_resnext101_32x48d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32, base_width=48),
+}
+
+for _alias, _base in _WEIGHT_ALIASES.items():
+    _cfg2 = _VARIANTS[_base] if isinstance(_base, str) else _base
+    _make_entry(_alias, **_cfg2)

@@ -125,8 +125,13 @@ class DETRHead(BaseModel):
     bbox_cost_weight: float = 5.0
     iou_cost_weight: float = 2.0
     bg_cls_weight: float = 0.1
+    sync_cls_avg_factor: bool = False  # GSPMD makes avg factors global already
     score_thr: float = 0.0
     max_per_img: int = 100
+    train_cfg: Any = None  # reference-YAML parity (Hungarian costs are fields)
+    test_cfg: Any = None
+    transformer: Any = None  # mmdet nested cfg accepted; our layout is flat fields
+    positional_encoding: Any = None
     dtype: Any = None
 
     @property

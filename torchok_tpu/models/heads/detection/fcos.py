@@ -58,12 +58,22 @@ class FCOSHead(BaseModel):
     center_sample_radius: float = 1.5
     norm_on_bbox: bool = False
     centerness_on_reg: bool = False
-    # test cfg
+    # test cfg (flat fields, or mmdet-style train_cfg/test_cfg dicts)
     score_thr: float = 0.05
     nms_iou_threshold: float = 0.6
     nms_pre: int = 1000
     max_per_img: int = 100
+    train_cfg: Any = None  # accepted for reference-YAML parity (assigner cfg
+    test_cfg: Any = None   # is implicit in FCOS); test_cfg overrides the flat fields
     dtype: Any = None
+
+    def _test_cfg(self, key, default):
+        tc = self.test_cfg or {}
+        if hasattr(tc, "to_dict"):
+            tc = tc.to_dict()
+        if key == "iou_threshold":
+            return (tc.get("nms") or {}).get("iou_threshold", default)
+        return tc.get(key, default)
 
     @property
     def out_channels(self) -> int:
@@ -255,18 +265,23 @@ class FCOSHead(BaseModel):
         ctr = jax.nn.sigmoid(flat_ctr.astype(jnp.float32))[..., None]
         scores = probs * ctr  # (B, P, C)
 
+        nms_pre = self._test_cfg("nms_pre", self.nms_pre)
+        score_thr = self._test_cfg("score_thr", self.score_thr)
+        iou_thr = self._test_cfg("iou_threshold", self.nms_iou_threshold)
+        max_per_img = self._test_cfg("max_per_img", self.max_per_img)
+
         def per_image(score_pc, reg_p):
             p, c = score_pc.shape
             flat = score_pc.reshape(-1)
-            k = min(self.nms_pre, flat.shape[0])
+            k = min(nms_pre, flat.shape[0])
             top_scores, top_idx = jax.lax.top_k(flat, k)
             pt_idx = top_idx // c
             cls_idx = top_idx % c
             boxes = distance2bbox(points[pt_idx], reg_p[pt_idx], max_shape=img_shape)
-            top_scores = jnp.where(top_scores > self.score_thr, top_scores, 0.0)
+            top_scores = jnp.where(top_scores > score_thr, top_scores, 0.0)
             keep_idx, keep_scores = batched_nms(
                 boxes, top_scores, cls_idx,
-                iou_threshold=self.nms_iou_threshold, max_out=self.max_per_img)
+                iou_threshold=iou_thr, max_out=max_per_img)
             valid = keep_idx >= 0
             safe = jnp.maximum(keep_idx, 0)
             out_boxes = jnp.where(valid[:, None], boxes[safe], 0.0)

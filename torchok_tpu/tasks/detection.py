@@ -21,7 +21,7 @@ from torchok_tpu.tasks.base import BaseTask
 
 class DetectionModel(nn.Module):
     backbone: nn.Module
-    neck: nn.Module
+    neck: Optional[nn.Module]
     bbox_head: nn.Module
     num_scales: int = 4
     decode_predictions: bool = False
@@ -30,7 +30,7 @@ class DetectionModel(nn.Module):
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, Any]:
         x = batch["image"]
         features = self.backbone.forward_features(x, train=train)[-self.num_scales:]
-        neck_out = self.neck(features, train=train)
+        neck_out = self.neck(features, train=train) if self.neck is not None else features
         head_out = self.bbox_head(neck_out, train=train)
         output = self.bbox_head.format_dict(head_out)
         output["img_shape"] = jnp.asarray(x.shape[1:3])
@@ -44,11 +44,17 @@ class DetectionModel(nn.Module):
             output["prediction_bboxes"] = preds["bboxes"]
             output["prediction_scores"] = preds["scores"]
             output["prediction_labels"] = preds["labels"]
+            # reference-style dict outputs for the mAP metrics' preds/target
+            # mapping (padded arrays instead of ragged per-image lists)
+            output["prediction"] = preds
+            if "bboxes" in batch:
+                output["target"] = {"bboxes": batch["bboxes"],
+                                    "labels": batch["label"]}
         return output
 
     def forward(self, image: jnp.ndarray):
         features = self.backbone.forward_features(image, train=False)[-self.num_scales:]
-        neck_out = self.neck(features, train=False)
+        neck_out = self.neck(features, train=False) if self.neck is not None else features
         head_out = self.bbox_head(neck_out, train=False)
         preds = self.bbox_head.get_bboxes(
             **self.bbox_head.format_dict(head_out),
@@ -58,8 +64,9 @@ class DetectionModel(nn.Module):
 
 @TASKS.register_class
 class SingleStageDetectionTask(BaseTask):
-    def __init__(self, hparams: ConfigNode, backbone_name: str, neck_name: str,
-                 head_name: str, num_scales: int = 4,
+    def __init__(self, hparams: ConfigNode, backbone_name: str,
+                 head_name: str, neck_name: Optional[str] = None,
+                 num_scales: int = 4,
                  backbone_params: Optional[dict] = None,
                  neck_params: Optional[dict] = None,
                  head_params: Optional[dict] = None,
@@ -71,14 +78,19 @@ class SingleStageDetectionTask(BaseTask):
         self.pretrained_name = backbone_name if bp.get("pretrained") else None
         self._backbone = BACKBONES.get(backbone_name)(**{**bp, "dtype": dtype})
 
-        np_ = dict(neck_params or {})
         enc = tuple(self._backbone.out_encoder_channels)[-num_scales:]
-        neck = DETECTION_NECKS.get(neck_name)(in_channels=enc, dtype=dtype,
-                                              **{k: v for k, v in np_.items()
-                                                 if k != "in_channels"})
+        if neck_name:
+            np_ = dict(neck_params or {})
+            neck = DETECTION_NECKS.get(neck_name)(in_channels=enc, dtype=dtype,
+                                                  **{k: v for k, v in np_.items()
+                                                     if k != "in_channels"})
+            head_in = neck.out_channels
+        else:
+            neck = None
+            head_in = enc[-1]
 
         hp = dict(head_params or {})
-        hp.setdefault("in_channels", neck.out_channels)
+        hp.setdefault("in_channels", head_in)
         self.bbox_head = HEADS.get(head_name)(dtype=dtype, **hp)
 
         self.model = DetectionModel(backbone=self._backbone, neck=neck,

@@ -36,6 +36,7 @@ from torchok_tpu.constructor.config import ConfigNode
 from torchok_tpu.constructor.config_structure import Phase
 from torchok_tpu.engine.callbacks import Callback
 from torchok_tpu.engine.state import TrainState
+from torchok_tpu.parallel.mesh import fsdp_sharding
 
 logger = logging.getLogger(__name__)
 
@@ -316,21 +317,7 @@ class Trainer:
             self.global_step = int(meta.get("global_step", 0))
 
     def _fsdp_sharding(self, state):
-        """Parameter sharding rule: shard the largest divisible axis over 'data'."""
-        n = self.num_devices
-
-        def spec_for(leaf):
-            if not hasattr(leaf, "shape") or leaf.ndim == 0:
-                return NamedSharding(self.mesh, P())
-            sizes = list(leaf.shape)
-            best = int(np.argmax(sizes))
-            if sizes[best] % n == 0 and sizes[best] >= n:
-                spec = [None] * leaf.ndim
-                spec[best] = "data"
-                return NamedSharding(self.mesh, P(*spec))
-            return NamedSharding(self.mesh, P())
-
-        return jax.tree_util.tree_map(spec_for, state)
+        return fsdp_sharding(self.mesh, state)
 
     # ------------------------------------------------------------------
     # loops
@@ -374,6 +361,13 @@ class Trainer:
                 cb.on_train_epoch_start(self, task)
 
             # ----- train epoch -----
+            if self.profiler and epoch == self.current_epoch and epoch == 0:
+                trace_dir = (self.logger.log_dir if self.logger else "/tmp") + "/profile"
+                try:
+                    jax.profiler.start_trace(trace_dir)
+                    self._profiling = True
+                except Exception:  # noqa: BLE001 — profiling is best-effort
+                    self._profiling = False
             t0 = time.perf_counter()
             train_loader.set_epoch(epoch)
             loss_sums: Dict[str, float] = {}
@@ -385,6 +379,15 @@ class Trainer:
                 task.metrics_manager.update(Phase.TRAIN, 0, **outputs)
                 n_steps += 1
                 self.global_step += 1
+                for bundle in self.bundles:
+                    if bundle.scheduler is not None and \
+                            bundle.scheduler_interval == "step" and \
+                            self.global_step % bundle.scheduler_frequency == 0:
+                        new_lr = bundle.scheduler.step()
+                        factor = new_lr / bundle.scheduler.base_lr \
+                            if bundle.scheduler.base_lr else 1.0
+                        self.state = self.state.replace(
+                            opt_state=self._apply_lr_factor(self.state.opt_state, factor))
                 if (self.global_step % self.log_every_n_steps == 0) or bidx == n_train - 1:
                     host_losses = {k: float(v) for k, v in losses.items()}
                     for k, v in host_losses.items():
@@ -402,6 +405,10 @@ class Trainer:
                     self.should_stop = True
                     break
             epoch_time = time.perf_counter() - t0
+            if getattr(self, "_profiling", False):
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logger.info("jax profiler trace written under the logger dir")
 
             train_logs = {f"train/{k}": v / max(n_steps, 1) for k, v in loss_sums.items()}
             train_logs.update(task.metrics_manager.on_epoch_end(Phase.TRAIN))

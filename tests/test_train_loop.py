@@ -12,7 +12,7 @@ from torchok_tpu.constructor.runner import create_trainer
 
 
 def make_config(tmp_path, max_epochs=2, extra_callbacks=(), precision=32,
-                accumulate=1, optimization=None):
+                accumulate=1, optimization=None, trainer_extra=None):
     cfg = {
         "task": {
             "name": "ClassificationTask",
@@ -62,7 +62,8 @@ def make_config(tmp_path, max_epochs=2, extra_callbacks=(), precision=32,
         },
         "trainer": {"max_epochs": max_epochs, "precision": precision,
                     "log_every_n_steps": 2,
-                    "accumulate_grad_batches": accumulate},
+                    "accumulate_grad_batches": accumulate,
+                    **(trainer_extra or {})},
         "logger": {"name": "CSVLogger", "log_dir": str(tmp_path / "logs"),
                    "experiment_name": "t"},
         "metrics": [
@@ -160,6 +161,51 @@ def test_freeze_unfreeze_masks_gradients(tmp_path):
         lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
         head_ref, head_got)
     assert max(jax.tree_util.tree_leaves(hdiffs)) > 0.0
+
+
+def test_steps_per_execution_parity(tmp_path):
+    """Fused-scan training (steps_per_execution=2) must be numerically
+    equivalent to the plain per-step loop: same optimizer-step count, same
+    final parameters (the scan splits a super-batch into the identical
+    micro-batch sequence). SGD keeps parameter differences proportional to
+    fp-reassociation noise (Adam's sign-like early steps would amplify ~1e-7
+    gradient noise to lr-scale parameter differences)."""
+    import jax
+
+    optimization = [{"optimizer": {"name": "SGD", "params": {"lr": 0.01}}}]
+    config1 = make_config(tmp_path, max_epochs=2, optimization=optimization)
+    task1, trainer1 = build(config1)
+    trainer1.fit(task1)
+
+    config2 = make_config(tmp_path, max_epochs=2, optimization=optimization,
+                          trainer_extra={"steps_per_execution": 2})
+    task2, trainer2 = build(config2)
+    trainer2.fit(task2)
+
+    assert trainer2.global_step == trainer1.global_step
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
+        trainer1.state.params, trainer2.state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+    assert "train/loss" in trainer2.callback_metrics
+    assert "valid/Accuracy" in trainer2.callback_metrics
+
+
+def test_steps_per_execution_with_step_scheduler(tmp_path):
+    """Step-interval schedulers must advance once per optimizer step even when
+    steps are fused into one execution."""
+    optimization = [
+        {"optimizer": {"name": "Adam", "params": {"lr": 0.001}},
+         "scheduler": {"name": "ExponentialLR", "params": {"gamma": 0.9},
+                       "pl_params": {"interval": "step"}}},
+    ]
+    config = make_config(tmp_path, max_epochs=1, optimization=optimization,
+                         trainer_extra={"steps_per_execution": 2})
+    task, trainer = build(config)
+    trainer.fit(task)
+    # 128 samples / bs 32 = 4 optimizer steps -> gamma applied 4 times
+    assert trainer.global_step == 4
+    assert abs(trainer.current_lr() - 0.001 * 0.9 ** 4) < 1e-12
 
 
 def test_test_mode(tmp_path):

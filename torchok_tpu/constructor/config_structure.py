@@ -184,6 +184,9 @@ class TrainerParams:
     barebones: bool = False
     sync_batchnorm: bool = False
     reload_dataloaders_every_n_epochs: int = 0
+    # TPU-build extension: number of train steps fused into one jitted
+    # lax.scan execution (amortizes host dispatch on small models)
+    steps_per_execution: int = 1
 
 
 @dataclass

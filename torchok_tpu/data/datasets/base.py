@@ -70,8 +70,13 @@ class ImageDataset(ABC):
             combined.extend(transform.transforms)
         full = Compose(combined, p=1.0)
         self._host_pipeline, device_suffix = full.split_device_suffix(
-            bbox_mode=getattr(self, "has_bboxes", False))
+            bbox_mode=getattr(self, "has_bboxes", False),
+            uniform_shapes=getattr(self, "uniform_image_size", False))
         self.device_pipeline = DeviceTransformPipeline(device_suffix)
+
+    @property
+    def host_pipeline_empty(self) -> bool:
+        return not self._host_pipeline.transforms
 
     @staticmethod
     def _ensure_compose(t) -> Optional[Compose]:

@@ -38,6 +38,9 @@ def check_integrity(path: Path, md5: Optional[str]) -> bool:
 
 @DATASETS.register_class
 class CIFAR10(ImageDataset):
+    uniform_image_size = True  # fixed-size in-memory arrays: device-resize +
+                               # vectorized batch fetch apply
+
     base_folder = "cifar-10-batches-py"
     url = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
     filename = "cifar-10-python.tar.gz"
@@ -110,6 +113,14 @@ class CIFAR10(ImageDataset):
 
     def __len__(self) -> int:
         return len(self.images)
+
+    def get_batch(self, idxs):
+        """Vectorized batch fetch (numpy fancy-index, no per-sample python).
+        Used by the loader when the host transform prefix is empty."""
+        out = {"image": self.images[idxs], "index": idxs.astype("int64")}
+        if not self.test_mode:
+            out["target"] = self.targets[idxs]
+        return out
 
     def get_raw(self, idx: int) -> dict:
         sample = {"image": self.images[idx], "index": idx}

@@ -12,6 +12,9 @@ from torchok_tpu.data.datasets.base import ImageDataset
 
 @DATASETS.register_class
 class SyntheticClassificationDataset(ImageDataset):
+    uniform_image_size = True  # fixed-size in-memory arrays: device-resize +
+                               # vectorized batch fetch apply
+
     def __init__(self, transform, augment=None, num_samples: int = 10000,
                  image_size: Tuple[int, int] = (32, 32), channels: int = 3,
                  num_classes: int = 10, input_dtype: str = "float32",
@@ -25,6 +28,14 @@ class SyntheticClassificationDataset(ImageDataset):
 
     def __len__(self) -> int:
         return len(self.images)
+
+    def get_batch(self, idxs):
+        """Vectorized batch fetch (numpy fancy-index, no per-sample python).
+        Used by the loader when the host transform prefix is empty."""
+        out = {"image": self.images[idxs], "index": idxs.astype("int64")}
+        if not self.test_mode:
+            out["target"] = self.targets[idxs]
+        return out
 
     def get_raw(self, idx: int) -> dict:
         sample = {"image": self.images[idx], "index": idx}

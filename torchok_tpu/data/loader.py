@@ -90,12 +90,20 @@ class DataLoader:
             batches.append(order[n_full * self.batch_size:])
         return batches
 
+    @property
+    def _vectorized(self) -> bool:
+        return (hasattr(self.dataset, "get_batch")
+                and getattr(self.dataset, "host_pipeline_empty", False)
+                and self.collate_fn is default_collate)
+
     def _fetch(self, idxs: np.ndarray) -> Dict[str, Any]:
+        if self._vectorized:
+            return self.dataset.get_batch(idxs)
         samples = [self.dataset[int(i)] for i in idxs]
         return self.collate_fn(samples)
 
     def _fetch_parallel(self, pool: ThreadPoolExecutor, idxs: np.ndarray) -> Dict[str, Any]:
-        if len(idxs) < 2 * self.num_workers:
+        if self._vectorized or len(idxs) < 2 * self.num_workers:
             return self._fetch(idxs)
         chunks = np.array_split(idxs, self.num_workers)
         parts = list(pool.map(lambda c: [self.dataset[int(i)] for i in c], chunks))

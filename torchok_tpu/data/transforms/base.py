@@ -31,6 +31,10 @@ class BaseTransform:
     # False for device ops that change geometry (flips) and would need to
     # update bboxes — excluded from the device suffix for bbox datasets
     device_bbox_safe: bool = True
+    # True for device ops that require all samples to share the input shape
+    # (batched geometry like Resize) — only moved to device when the dataset
+    # declares uniform_image_size
+    device_needs_uniform: bool = False
     # True when the op is deterministic (p is ignored / always applied)
     always_apply: bool = False
 
@@ -96,11 +100,15 @@ class Compose(BaseTransform):
             sample = t(**sample)
         return sample
 
-    def split_device_suffix(self, bbox_mode: bool = False) -> Tuple["Compose", List[BaseTransform]]:
+    def split_device_suffix(self, bbox_mode: bool = False,
+                            uniform_shapes: bool = False) -> Tuple["Compose", List[BaseTransform]]:
         """Split into (host prefix, device-capable suffix). In bbox_mode only
-        geometry-preserving device ops may move to the device."""
+        geometry-preserving device ops may move to the device; shape-changing
+        batched ops (Resize) move only for uniform-size datasets."""
         def ok(t):
-            return t.device_capable and (not bbox_mode or t.device_bbox_safe)
+            return (t.device_capable
+                    and (not bbox_mode or t.device_bbox_safe)
+                    and (uniform_shapes or not t.device_needs_uniform))
         split = len(self.transforms)
         while split > 0 and ok(self.transforms[split - 1]):
             split -= 1

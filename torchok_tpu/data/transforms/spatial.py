@@ -32,6 +32,8 @@ def _resize(img: np.ndarray, h: int, w: int, interpolation=_INTERP) -> np.ndarra
 @TRANSFORMS.register_class
 class Resize(BaseTransform):
     always_apply = True
+    device_capable = True
+    device_needs_uniform = True  # batched resize needs one input shape
 
     def __init__(self, height: int, width: int, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -41,6 +43,26 @@ class Resize(BaseTransform):
 
     def apply(self, image, **params):
         return _resize(image, self.height, self.width, self.interpolation)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, c = img.shape
+        if (h, w) != (self.height, self.width):
+            out = jax.image.resize(img.astype(jnp.float32),
+                                   (n, self.height, self.width, c), "linear")
+            batch["image"] = out if jnp.issubdtype(img.dtype, jnp.floating) \
+                else jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+        if batch.get("mask") is not None and "mask" in batch:
+            mask = batch["mask"]
+            if mask.shape[1:3] != (self.height, self.width):
+                m = mask[..., None] if mask.ndim == 3 else mask
+                m = jax.image.resize(m, (n, self.height, self.width, m.shape[-1]),
+                                     "nearest")
+                batch["mask"] = m[..., 0] if mask.ndim == 3 else m
+        return batch
 
     def apply_to_mask(self, mask, **params):
         return _resize(mask, self.height, self.width, cv2.INTER_NEAREST)

@@ -65,6 +65,7 @@ class Trainer:
         self.check_val_every_n_epoch = tp.get("check_val_every_n_epoch") or 1
         self.log_every_n_steps = tp.get("log_every_n_steps") or 50
         self.accumulate_grad_batches = tp.get("accumulate_grad_batches") or 1
+        self.steps_per_execution = max(1, tp.get("steps_per_execution") or 1)
         self.gradient_clip_val = tp.get("gradient_clip_val")
         self.fast_dev_run = tp.get("fast_dev_run", False)
         self.num_sanity_val_steps = tp.get("num_sanity_val_steps") or 0
@@ -247,6 +248,29 @@ class Trainer:
 
         return train_step
 
+    def _make_multi_train_step(self, train_step, micro_batch: int):
+        """Fuse K train steps into one jitted lax.scan over a super-batch of
+        K*B samples — one host dispatch, one transfer, one device-transform
+        run per K optimizer steps (steps_per_execution)."""
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+        def multi_step(state, super_batch, k):
+            stacked = jax.tree_util.tree_map(
+                lambda x: x.reshape((k, micro_batch) + x.shape[1:]), super_batch)
+
+            def body(s, b):
+                s2, outputs, losses = train_step(s, b)
+                return s2, (outputs, losses)
+            state, (outputs, losses) = jax.lax.scan(body, state, stacked)
+            # merge (K, B, ...) -> (K*B, ...) for metric updates
+            outputs = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]) if hasattr(x, "ndim") and x.ndim >= 2 else x,
+                outputs)
+            losses = jax.tree_util.tree_map(jnp.mean, losses)
+            return state, outputs, losses
+
+        return multi_step
+
     def _make_eval_step(self, task, with_loss: bool):
         compute_loss = task.compute_loss
         model = task.model
@@ -343,6 +367,14 @@ class Trainer:
         self._install_device_fns(val_loaders, train=False)
 
         train_step = self._make_train_step(task, self.tx)
+        spe = self.steps_per_execution
+        micro_batch = train_loader.batch_size
+        multi_step = None
+        if spe > 1:
+            multi_step = self._make_multi_train_step(train_step, micro_batch)
+            # loader serves K*B super-batches: one host fetch + one transfer
+            # + one device-transform run per execution
+            train_loader.batch_size = micro_batch * spe
         eval_step = self._make_eval_step(task, task.compute_loss_on_valid)
 
         for cb in self.callbacks:
@@ -352,7 +384,14 @@ class Trainer:
         if self.logger is not None:
             self.logger.log_hyperparams(task.hparams)
 
-        n_train = self._limit(len(train_loader), self.limit_train_batches)
+        if multi_step is not None:
+            # limits are defined in optimizer steps; loader yields spe per item
+            n_train = len(train_loader)
+            if self.limit_train_batches is not None:
+                limit_steps = self._limit(n_train * spe, self.limit_train_batches)
+                n_train = min(n_train, max(1, (limit_steps + spe - 1) // spe))
+        else:
+            n_train = self._limit(len(train_loader), self.limit_train_batches)
 
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
@@ -370,52 +409,76 @@ class Trainer:
                     self._profiling = False
             t0 = time.perf_counter()
             train_loader.set_epoch(epoch)
-            loss_sums: Dict[str, float] = {}
+            # device-side loss accumulation: converting to python floats every
+            # step would synchronize the host with the TPU per step and
+            # destroy pipelining (measured ~15x slowdown); sums stay on device
+            # and are read once per epoch / log interval
+            loss_sums: Dict[str, Any] = {}
             n_steps = 0
+            n_execs = 0
             for bidx, batch in enumerate(train_loader):
                 if bidx >= n_train:
                     break
-                self.state, outputs, losses = train_step(self.state, batch)
+                if multi_step is not None:
+                    size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+                    k = size // micro_batch
+                    if k >= 1 and size % micro_batch == 0:
+                        self.state, outputs, losses = multi_step(self.state, batch, k)
+                        executed = k
+                    else:  # ragged tail smaller than one micro batch
+                        self.state, outputs, losses = train_step(self.state, batch)
+                        executed = 1
+                else:
+                    self.state, outputs, losses = train_step(self.state, batch)
+                    executed = 1
                 task.metrics_manager.update(Phase.TRAIN, 0, **outputs)
-                n_steps += 1
-                self.global_step += 1
+                prev_step = self.global_step
+                n_steps += executed
+                n_execs += 1
+                self.global_step += executed
+                for k, v in losses.items():
+                    loss_sums[k] = v if k not in loss_sums else loss_sums[k] + v
+                # step-interval schedulers advance once per optimizer step; in
+                # multi-step mode the lr update lands between executions (lr is
+                # constant within one fused scan, matching an accumulated step)
                 for bundle in self.bundles:
-                    if bundle.scheduler is not None and \
-                            bundle.scheduler_interval == "step" and \
-                            self.global_step % bundle.scheduler_frequency == 0:
+                    if bundle.scheduler is None or bundle.scheduler_interval != "step":
+                        continue
+                    fired = (self.global_step // bundle.scheduler_frequency
+                             - prev_step // bundle.scheduler_frequency)
+                    if fired <= 0:
+                        continue
+                    for _ in range(fired):
                         new_lr = bundle.scheduler.step()
-                        factor = new_lr / bundle.scheduler.base_lr \
-                            if bundle.scheduler.base_lr else 1.0
-                        self.state = self.state.replace(
-                            opt_state=self._apply_lr_factor(self.state.opt_state, factor))
-                if (self.global_step % self.log_every_n_steps == 0) or bidx == n_train - 1:
+                    factor = new_lr / bundle.scheduler.base_lr \
+                        if bundle.scheduler.base_lr else 1.0
+                    self.state = self.state.replace(
+                        opt_state=self._apply_lr_factor(self.state.opt_state, factor))
+                if (self.global_step // self.log_every_n_steps
+                        > prev_step // self.log_every_n_steps):
                     host_losses = {k: float(v) for k, v in losses.items()}
-                    for k, v in host_losses.items():
-                        loss_sums[k] = loss_sums.get(k, 0.0) + v
                     if self.logger is not None:
                         self.logger.log_metrics(
                             {f"train/{k}": v for k, v in host_losses.items()},
                             step=self.global_step)
                     for cb in self.callbacks:
                         cb.on_train_batch_end(self, task, self.global_step, host_losses)
-                else:
-                    for k, v in losses.items():
-                        loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
                 if 0 < self.max_steps <= self.global_step:
                     self.should_stop = True
                     break
+            loss_sums = {k: float(v) for k, v in loss_sums.items()}
             epoch_time = time.perf_counter() - t0
             if getattr(self, "_profiling", False):
                 jax.profiler.stop_trace()
                 self._profiling = False
                 logger.info("jax profiler trace written under the logger dir")
 
-            train_logs = {f"train/{k}": v / max(n_steps, 1) for k, v in loss_sums.items()}
+            # in multi-step mode each execution contributes one (mean) loss value
+            train_logs = {f"train/{k}": v / max(n_execs, 1) for k, v in loss_sums.items()}
             train_logs.update(task.metrics_manager.on_epoch_end(Phase.TRAIN))
             train_logs["train/epoch_time_s"] = epoch_time
             if n_steps:
-                bs = train_loader.batch_size
-                train_logs["train/images_per_sec"] = n_steps * bs / epoch_time
+                train_logs["train/images_per_sec"] = n_steps * micro_batch / epoch_time
             epoch_logs.update(train_logs)
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self, task, train_logs)

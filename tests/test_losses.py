@@ -150,3 +150,117 @@ def test_contrastive_loss_semantics():
     loss = LOSSES.get("ContrastiveLoss")(margin=1.0)(emb1=e, emb2=e, R=R)
     # identical embeddings, relevant pairs at distance 0; irrelevant at sqrt(2)>margin
     assert float(loss) < 1e-5
+
+
+def test_multi_margin_matches_torch(rng):
+    logits = rng.normal(size=(8, 5)).astype(np.float32)
+    target = rng.integers(0, 5, size=(8,))
+    ours = LOSSES.get("MultiMarginLoss")(margin=0.7)(
+        input=jnp.asarray(logits), target=jnp.asarray(target))
+    theirs = torch.nn.MultiMarginLoss(margin=0.7)(
+        torch.tensor(logits), torch.tensor(target)).item()
+    assert abs(float(ours) - theirs) < 1e-5
+
+
+def test_multi_label_margin_matches_torch(rng):
+    logits = rng.normal(size=(4, 6)).astype(np.float32)
+    target = np.array([[1, 3, -1, -1, -1, -1],
+                       [0, -1, -1, -1, -1, -1],
+                       [2, 4, 5, -1, -1, -1],
+                       [1, -1, 3, -1, -1, -1]], np.int64)  # 3rd row: -1 stops parsing
+    ours = LOSSES.get("MultiLabelMarginLoss")()(
+        input=jnp.asarray(logits), target=jnp.asarray(target))
+    theirs = torch.nn.MultiLabelMarginLoss()(
+        torch.tensor(logits), torch.tensor(target)).item()
+    assert abs(float(ours) - theirs) < 1e-5
+
+
+def test_triplet_with_distance_matches_torch(rng):
+    a, p, n = (rng.normal(size=(4, 8)).astype(np.float32) for _ in range(3))
+    ours = LOSSES.get("TripletMarginWithDistanceLoss")(
+        distance_function="cosine", margin=0.3)(
+        anchor=jnp.asarray(a), positive=jnp.asarray(p), negative=jnp.asarray(n))
+    dist = lambda x, y: 1.0 - torch.nn.functional.cosine_similarity(x, y)
+    theirs = torch.nn.TripletMarginWithDistanceLoss(
+        distance_function=dist, margin=0.3)(
+        torch.tensor(a), torch.tensor(p), torch.tensor(n)).item()
+    assert abs(float(ours) - theirs) < 1e-5
+
+
+def test_ctc_matches_torch(rng):
+    T, N, C, S = 12, 3, 6, 4
+    logits = rng.normal(size=(T, N, C)).astype(np.float32)
+    log_probs = torch.log_softmax(torch.tensor(logits), dim=-1)
+    targets = rng.integers(1, C, size=(N, S)).astype(np.int64)
+    input_lengths = np.array([12, 10, 8], np.int64)
+    target_lengths = np.array([4, 3, 2], np.int64)
+    ours = LOSSES.get("CTCLoss")()(
+        log_probs=jnp.asarray(log_probs.numpy()), targets=jnp.asarray(targets),
+        input_lengths=jnp.asarray(input_lengths),
+        target_lengths=jnp.asarray(target_lengths))
+    theirs = torch.nn.CTCLoss(blank=0)(
+        log_probs, torch.tensor(targets), torch.tensor(input_lengths),
+        torch.tensor(target_lengths)).item()
+    assert abs(float(ours) - theirs) < 1e-4
+
+
+def test_iou_family_perfect_boxes_zero_loss():
+    boxes = jnp.asarray(np.array([[0, 0, 10, 10], [5, 5, 20, 30]], np.float32))
+    for name in ["GIoULoss", "DIoULoss", "CIoULoss", "BoundedIoULoss"]:
+        loss = LOSSES.get(name)()(pred=boxes, target=boxes)
+        assert abs(float(loss)) < 1e-4, name
+
+
+def test_iou_family_orders_by_overlap():
+    target = jnp.asarray(np.array([[0, 0, 10, 10]], np.float32))
+    near = jnp.asarray(np.array([[1, 1, 11, 11]], np.float32))
+    far = jnp.asarray(np.array([[20, 20, 30, 30]], np.float32))
+    for name in ["GIoULoss", "DIoULoss", "CIoULoss"]:
+        ln = float(LOSSES.get(name)()(pred=near, target=target))
+        lf = float(LOSSES.get(name)()(pred=far, target=target))
+        assert ln < lf, name
+
+
+def test_distribution_focal_loss_prefers_correct_bins():
+    # target 2.3 -> bins 2 (w 0.7) and 3 (w 0.3)
+    good = np.full((1, 8), -10.0, np.float32)
+    good[0, 2] = 10.0
+    bad = np.full((1, 8), -10.0, np.float32)
+    bad[0, 6] = 10.0
+    t = jnp.asarray(np.array([2.3], np.float32))
+    dfl = LOSSES.get("DistributionFocalLoss")()
+    assert float(dfl(pred=jnp.asarray(good), target=t)) < \
+        float(dfl(pred=jnp.asarray(bad), target=t))
+
+
+def test_quality_varifocal_gaussian_losses_finite(rng):
+    pred = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    soft = jnp.asarray(rng.uniform(0, 1, size=(6, 4)).astype(np.float32))
+    for name in ["QualityFocalLoss", "VarifocalLoss"]:
+        v = float(LOSSES.get(name)()(pred=pred, target=soft))
+        assert np.isfinite(v) and v > 0, name
+    heat = jnp.asarray(rng.uniform(0, 0.99, size=(2, 8, 8)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(0.01, 0.99, size=(2, 8, 8)).astype(np.float32))
+    v = float(LOSSES.get("GaussianFocalLoss")()(pred=p, target=heat))
+    assert np.isfinite(v)
+
+
+def test_ghm_and_seesaw_finite(rng):
+    pred = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, 2, size=(16, 3)).astype(np.float32))
+    assert np.isfinite(float(LOSSES.get("GHMC")()(pred=pred, target=tgt)))
+    reg_p = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    reg_t = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    assert np.isfinite(float(LOSSES.get("GHMR")()(pred=reg_p, target=reg_t)))
+    logits = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=(8,)))
+    seesaw = LOSSES.get("SeesawLoss")(
+        num_classes=5, class_counts=[100, 50, 10, 5, 1])
+    assert np.isfinite(float(seesaw(pred=logits, target=labels)))
+
+
+def test_kd_kldiv_zero_for_identical_logits(rng):
+    logits = jnp.asarray(rng.normal(size=(4, 7)).astype(np.float32))
+    loss = LOSSES.get("KnowledgeDistillationKLDivLoss")(T=4)(
+        pred=logits, soft_label=logits)
+    assert abs(float(loss)) < 1e-6

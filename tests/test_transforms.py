@@ -113,3 +113,116 @@ def test_color_jitter_device_runs():
     img = jnp.asarray(_img()[None])
     out = t.apply_batch({"image": img}, jax.random.PRNGKey(0))["image"]
     assert out.shape == img.shape
+
+
+def test_extended_pixelwise_ops_run():
+    """Every extended photometric op must run on a uint8 RGB image and
+    preserve shape and dtype."""
+    from torchok_tpu.constructor import TRANSFORMS
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    ref = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    cases = {
+        "AdvancedBlur": {}, "Defocus": {}, "ZoomBlur": {}, "GlassBlur": {},
+        "Emboss": {}, "UnsharpMask": {}, "RingingOvershoot": {},
+        "FancyPCA": {}, "ISONoise": {}, "MultiplicativeNoise": {},
+        "RandomToneCurve": {}, "ChannelDropout": {}, "PixelDropout": {},
+        "GridDropout": {"holes_number_x": 4, "holes_number_y": 4},
+        "Superpixels": {}, "RandomFog": {}, "RandomRain": {},
+        "RandomShadow": {}, "RandomSnow": {}, "RandomSunFlare": {"src_radius": 20},
+        "Spatter": {},
+        "FDA": {"reference_images": [ref]},
+        "HistogramMatching": {"reference_images": [ref]},
+        "PixelDistributionAdaptation": {"reference_images": [ref]},
+        "TemplateTransform": {"templates": [ref]},
+    }
+    for name, params in cases.items():
+        t = TRANSFORMS.get(name)(p=1.0, **params)
+        t.seed(7)
+        out = t(force_apply=True, image=img)["image"]
+        assert out.shape == img.shape, name
+        assert out.dtype == np.uint8, name
+
+
+def test_extended_crop_ops_geometry():
+    from torchok_tpu.constructor import TRANSFORMS
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(60, 80, 3), dtype=np.uint8)
+    mask = rng.integers(0, 2, size=(60, 80), dtype=np.uint8)
+
+    t = TRANSFORMS.get("RandomSizedCrop")(min_max_height=(20, 40), height=32, width=32)
+    t.seed(1)
+    out = t(image=img, mask=mask)
+    assert out["image"].shape == (32, 32, 3) and out["mask"].shape == (32, 32)
+
+    t = TRANSFORMS.get("RandomCropFromBorders")()
+    t.seed(1)
+    out = t(image=img)["image"]
+    assert out.shape[0] <= 60 and out.shape[1] <= 80
+
+    t = TRANSFORMS.get("CropAndPad")(px=5)  # pad all sides, keep_size resizes back
+    t.seed(1)
+    assert t(image=img)["image"].shape == img.shape
+
+    t = TRANSFORMS.get("CropAndPad")(px=-5, keep_size=False)  # crop all sides
+    t.seed(1)
+    assert t(image=img)["image"].shape == (50, 70, 3)
+
+    t = TRANSFORMS.get("RandomGridShuffle")(grid=(2, 2), p=1.0)
+    t.seed(1)
+    out = t(force_apply=True, image=img, mask=mask)
+    assert out["image"].shape == img.shape
+    assert sorted(out["image"].reshape(-1).tolist()) == \
+        sorted(img.reshape(-1).tolist())  # permutation preserves pixels
+
+    t = TRANSFORMS.get("SafeRotate")(limit=45, p=1.0)
+    t.seed(1)
+    assert t(force_apply=True, image=img)["image"].shape == img.shape
+
+    t = TRANSFORMS.get("PiecewiseAffine")(p=1.0)
+    t.seed(1)
+    assert t(force_apply=True, image=img)["image"].shape == img.shape
+
+
+def test_bbox_safe_crop_keeps_boxes():
+    from torchok_tpu.constructor import TRANSFORMS
+    img = np.zeros((100, 100, 3), np.uint8)
+    bboxes = np.array([[20, 30, 40, 50], [60, 10, 80, 35]], np.float32)
+    t = TRANSFORMS.get("BBoxSafeRandomCrop")()
+    t.seed(5)
+    out = t(image=img, bboxes=bboxes)
+    b = np.asarray(out["bboxes"])
+    widths = b[:, 2] - b[:, 0]
+    heights = b[:, 3] - b[:, 1]
+    # areas preserved: the crop must contain every original box
+    assert np.allclose(widths, [20, 20]) and np.allclose(heights, [20, 25])
+    h, w = out["image"].shape[:2]
+    assert (b[:, [0, 2]] <= w).all() and (b[:, [1, 3]] <= h).all()
+
+
+def test_mask_dropout_zeroes_objects():
+    from torchok_tpu.constructor import TRANSFORMS
+    img = np.full((40, 40, 3), 200, np.uint8)
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:15, 5:15] = 1
+    mask[25:35, 25:35] = 1
+    t = TRANSFORMS.get("MaskDropout")(max_objects=2, p=1.0)
+    t.seed(2)
+    out = t(force_apply=True, image=img, mask=mask)
+    assert out["mask"].sum() < mask.sum()
+    assert (out["image"] == 0).any()
+
+
+def test_crop_non_empty_mask_contains_positive():
+    from torchok_tpu.constructor import TRANSFORMS
+    img = np.zeros((64, 64, 3), np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[50:60, 50:60] = 1
+    t = TRANSFORMS.get("CropNonEmptyMaskIfExists")(height=16, width=16, p=1.0)
+    hits = 0
+    for seed in range(10):
+        t.seed(seed)
+        out = t(force_apply=True, image=img, mask=mask)
+        assert out["image"].shape == (16, 16, 3)
+        hits += int(out["mask"].sum() > 0)
+    assert hits == 10  # every crop contains mask-positive pixels

@@ -7,7 +7,19 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
+
+# Persistent XLA compilation cache: repeated runs of the same recipe skip the
+# (minutes-long on TPU) first-compile cost. Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/torchok_tpu/jax"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import torchok_tpu  # noqa: F401 — registers all components
 from torchok_tpu.constructor.config import load_config

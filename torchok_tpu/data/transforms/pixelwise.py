@@ -773,3 +773,784 @@ class ToSepia(BaseTransform):
         if image.dtype == np.uint8:
             return np.clip(out, 0, 255).astype(np.uint8)
         return np.clip(out, 0, 1.0)
+
+
+# ---------------------- extended photometric/effect ops ----------------------
+# (completing the reference's registry surface, reference:
+#  torchok/data/transforms/__init__.py:66-116)
+
+def _to_float01(image):
+    if image.dtype == np.uint8:
+        return image.astype(np.float32) / 255.0, True
+    return image.astype(np.float32), False
+
+
+def _from_float01(img, was_uint8):
+    if was_uint8:
+        return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    return img
+
+
+@TRANSFORMS.register_class
+class AdvancedBlur(BaseTransform):
+    """Generalized-gaussian kernel blur with random anisotropy, rotation and
+    multiplicative kernel noise."""
+
+    def __init__(self, blur_limit=(3, 7), sigmaX_limit=(0.2, 1.0),
+                 sigmaY_limit=(0.2, 1.0), rotate_limit=90,
+                 beta_limit=(0.5, 8.0), noise_limit=(0.9, 1.1),
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.blur_limit = (3, blur_limit) if isinstance(blur_limit, int) else tuple(blur_limit)
+        self.sigmaX_limit = tuple(sigmaX_limit)
+        self.sigmaY_limit = tuple(sigmaY_limit)
+        self.rotate_limit = (-rotate_limit, rotate_limit) \
+            if isinstance(rotate_limit, (int, float)) else tuple(rotate_limit)
+        self.beta_limit = tuple(beta_limit)
+        self.noise_limit = tuple(noise_limit)
+
+    def apply(self, image, **params):
+        k = int(self.rng.integers(self.blur_limit[0] // 2,
+                                  self.blur_limit[1] // 2 + 1)) * 2 + 1
+        sx = float(self.rng.uniform(*self.sigmaX_limit))
+        sy = float(self.rng.uniform(*self.sigmaY_limit))
+        angle = np.deg2rad(float(self.rng.uniform(*self.rotate_limit)))
+        beta = float(self.rng.uniform(*self.beta_limit))
+        ax = np.arange(k) - k // 2
+        xx, yy = np.meshgrid(ax, ax)
+        rx = xx * np.cos(angle) + yy * np.sin(angle)
+        ry = -xx * np.sin(angle) + yy * np.cos(angle)
+        d = (rx / sx) ** 2 + (ry / sy) ** 2
+        kernel = np.exp(-0.5 * d ** beta)
+        kernel *= self.rng.uniform(*self.noise_limit, size=kernel.shape)
+        kernel /= kernel.sum()
+        return cv2.filter2D(image, -1, kernel.astype(np.float32))
+
+
+@TRANSFORMS.register_class
+class Defocus(BaseTransform):
+    """Disk-kernel (defocus) blur."""
+
+    def __init__(self, radius=(3, 10), alias_blur=(0.1, 0.5),
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.radius = (1, radius) if isinstance(radius, int) else tuple(radius)
+        self.alias_blur = tuple(alias_blur) if not isinstance(alias_blur, (int, float)) \
+            else (alias_blur, alias_blur)
+
+    def apply(self, image, **params):
+        r = int(self.rng.integers(self.radius[0], self.radius[1] + 1))
+        sigma = float(self.rng.uniform(*self.alias_blur))
+        ax = np.arange(-r, r + 1)
+        xx, yy = np.meshgrid(ax, ax)
+        kernel = (xx ** 2 + yy ** 2 <= r ** 2).astype(np.float32)
+        kernel = cv2.GaussianBlur(kernel, (3, 3), sigma)
+        kernel /= kernel.sum()
+        return cv2.filter2D(image, -1, kernel)
+
+
+@TRANSFORMS.register_class
+class ZoomBlur(BaseTransform):
+    """Average of progressively zoomed-in frames."""
+
+    def __init__(self, max_factor=1.31, step_factor=(0.01, 0.03),
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.max_factor = (1.0, max_factor) if isinstance(max_factor, (int, float)) \
+            else tuple(max_factor)
+        self.step_factor = (step_factor, step_factor) \
+            if isinstance(step_factor, (int, float)) else tuple(step_factor)
+
+    def apply(self, image, **params):
+        mf = float(self.rng.uniform(*self.max_factor))
+        step = float(self.rng.uniform(*self.step_factor))
+        h, w = image.shape[:2]
+        img, was_uint8 = _to_float01(image)
+        acc = img.copy()
+        n = 1
+        for factor in np.arange(1.0 + step, mf, step):
+            zh, zw = int(round(h * factor)), int(round(w * factor))
+            zoomed = cv2.resize(img, (zw, zh), interpolation=cv2.INTER_LINEAR)
+            y0, x0 = (zh - h) // 2, (zw - w) // 2
+            acc += zoomed[y0:y0 + h, x0:x0 + w]
+            n += 1
+        return _from_float01(acc / n, was_uint8)
+
+
+@TRANSFORMS.register_class
+class GlassBlur(BaseTransform):
+    """Local random pixel swaps followed by gaussian blur (frosted glass)."""
+
+    def __init__(self, sigma: float = 0.7, max_delta: int = 4, iterations: int = 2,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.sigma = sigma
+        self.max_delta = max_delta
+        self.iterations = iterations
+
+    def apply(self, image, **params):
+        img = image.copy()
+        h, w = img.shape[:2]
+        d = self.max_delta
+        for _ in range(self.iterations):
+            dy = self.rng.integers(-d, d + 1, size=(h - 2 * d, w - 2 * d))
+            dx = self.rng.integers(-d, d + 1, size=(h - 2 * d, w - 2 * d))
+            ys, xs = np.mgrid[d:h - d, d:w - d]
+            src_y, src_x = ys + dy, xs + dx
+            tmp = img[src_y, src_x].copy()
+            img[src_y, src_x] = img[ys, xs]
+            img[ys, xs] = tmp
+        ksize = max(3, int(2 * round(2 * self.sigma) + 1))
+        return cv2.GaussianBlur(img, (ksize, ksize), sigmaX=self.sigma)
+
+
+@TRANSFORMS.register_class
+class Emboss(BaseTransform):
+    def __init__(self, alpha=(0.2, 0.5), strength=(0.2, 0.7),
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.alpha = tuple(alpha)
+        self.strength = tuple(strength)
+
+    def apply(self, image, **params):
+        alpha = float(self.rng.uniform(*self.alpha))
+        strength = float(self.rng.uniform(*self.strength))
+        kernel = np.array([[-1 - strength, 0 - strength, 0],
+                           [0 - strength, 1, 0 + strength],
+                           [0, 0 + strength, 1 + strength]], np.float32)
+        embossed = cv2.filter2D(image, -1, kernel)
+        out = (1 - alpha) * image.astype(np.float32) + alpha * embossed.astype(np.float32)
+        return np.clip(out, 0, 255).astype(np.uint8) if image.dtype == np.uint8 else out
+
+
+@TRANSFORMS.register_class
+class UnsharpMask(BaseTransform):
+    def __init__(self, blur_limit=(3, 7), sigma_limit=0.0, alpha=(0.2, 0.5),
+                 threshold: int = 10, always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.blur_limit = (3, blur_limit) if isinstance(blur_limit, int) else tuple(blur_limit)
+        self.sigma_limit = (0, sigma_limit) if isinstance(sigma_limit, (int, float)) \
+            else tuple(sigma_limit)
+        self.alpha = tuple(alpha)
+        self.threshold = threshold
+
+    def apply(self, image, **params):
+        k = int(self.rng.integers(self.blur_limit[0] // 2,
+                                  self.blur_limit[1] // 2 + 1)) * 2 + 1
+        sigma = float(self.rng.uniform(*self.sigma_limit))
+        alpha = float(self.rng.uniform(*self.alpha))
+        img, was_uint8 = _to_float01(image)
+        blurred = cv2.GaussianBlur(img, (k, k), sigmaX=sigma)
+        residual = img - blurred
+        mask = (np.abs(residual) * 255 > self.threshold).astype(np.float32)
+        sharpened = np.clip(img + alpha * residual, 0, 1)
+        out = img * (1 - mask) + sharpened * mask
+        return _from_float01(out, was_uint8)
+
+
+@TRANSFORMS.register_class
+class RingingOvershoot(BaseTransform):
+    """2D sinc-filter ringing artifacts."""
+
+    def __init__(self, blur_limit=(7, 15), cutoff=(0.7853981633974483, 3.141592653589793),
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.blur_limit = (3, blur_limit) if isinstance(blur_limit, int) else tuple(blur_limit)
+        self.cutoff = tuple(cutoff)
+
+    def apply(self, image, **params):
+        k = int(self.rng.integers(self.blur_limit[0] // 2,
+                                  self.blur_limit[1] // 2 + 1)) * 2 + 1
+        cutoff = float(self.rng.uniform(*self.cutoff))
+        ax = np.arange(k) - k // 2
+        xx, yy = np.meshgrid(ax, ax)
+        r = np.sqrt(xx ** 2 + yy ** 2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kernel = cutoff * _j1_approx(cutoff * r) / (2 * np.pi * r)
+        kernel[k // 2, k // 2] = cutoff ** 2 / (4 * np.pi)
+        kernel /= kernel.sum()
+        return cv2.filter2D(image, -1, kernel.astype(np.float32))
+
+
+def _j1_approx(x):
+    """Bessel J1 via scipy when present, else a polynomial/asymptotic
+    approximation (Abramowitz & Stegun 9.4)."""
+    try:
+        from scipy.special import j1
+        return j1(x)
+    except Exception:
+        x = np.asarray(x, np.float64)
+        small = np.abs(x) < 3.0
+        x_s = np.where(small, x, 3.0)
+        # series for small x
+        j_small = x_s / 2 - x_s ** 3 / 16 + x_s ** 5 / 384 - x_s ** 7 / 18432
+        x_l = np.where(small, 3.0, np.abs(x))
+        j_large = np.sqrt(2 / (np.pi * x_l)) * np.cos(x_l - 3 * np.pi / 4)
+        return np.where(small, j_small, j_large * np.sign(x))
+
+
+@TRANSFORMS.register_class
+class FancyPCA(BaseTransform):
+    """AlexNet-style PCA color augmentation."""
+
+    def __init__(self, alpha: float = 0.1, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.alpha = alpha
+
+    def apply(self, image, **params):
+        img, was_uint8 = _to_float01(image)
+        flat = img.reshape(-1, 3)
+        flat_c = flat - flat.mean(axis=0)
+        cov = np.cov(flat_c, rowvar=False)
+        evals, evecs = np.linalg.eigh(cov)
+        noise = evecs @ (self.rng.normal(0, self.alpha, 3) * evals)
+        return _from_float01(img + noise[None, None, :], was_uint8)
+
+
+@TRANSFORMS.register_class
+class ISONoise(BaseTransform):
+    """Sensor noise: poisson-ish luminance noise + hue color shift."""
+
+    def __init__(self, color_shift=(0.01, 0.05), intensity=(0.1, 0.5),
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.color_shift = tuple(color_shift)
+        self.intensity = tuple(intensity)
+
+    def apply(self, image, **params):
+        intensity = float(self.rng.uniform(*self.intensity))
+        color_shift = float(self.rng.uniform(*self.color_shift))
+        img, was_uint8 = _to_float01(image)
+        hls = cv2.cvtColor(img, cv2.COLOR_RGB2HLS)
+        std = np.std(img)
+        luminance_noise = self.rng.poisson(std * intensity * 255, img.shape[:2]) / 255.0
+        color_noise = self.rng.normal(0, color_shift * intensity * 180, img.shape[:2])
+        hls[..., 0] = (hls[..., 0] + color_noise) % 360
+        hls[..., 1] = np.clip(hls[..., 1] + luminance_noise *
+                              (1.0 - hls[..., 1]), 0, 1)
+        out = cv2.cvtColor(hls, cv2.COLOR_HLS2RGB)
+        return _from_float01(out, was_uint8)
+
+
+@TRANSFORMS.register_class
+class MultiplicativeNoise(BaseTransform):
+    device_capable = True
+
+    def __init__(self, multiplier=(0.9, 1.1), per_channel: bool = False,
+                 elementwise: bool = False, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.multiplier = tuple(multiplier)
+        self.per_channel = per_channel
+        self.elementwise = elementwise
+
+    def apply(self, image, **params):
+        if self.elementwise:
+            shape = image.shape if self.per_channel else image.shape[:2] + (1,)
+        else:
+            shape = (image.shape[-1],) if self.per_channel else (1,)
+        mult = self.rng.uniform(*self.multiplier, size=shape).astype(np.float32)
+        out = image.astype(np.float32) * mult
+        return np.clip(out, 0, 255).astype(np.uint8) if image.dtype == np.uint8 else out
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, c = img.shape
+        r_apply, r_mult = jax.random.split(rng)
+        if self.elementwise:
+            shape = (n, h, w, c) if self.per_channel else (n, h, w, 1)
+        else:
+            shape = (n, 1, 1, c) if self.per_channel else (n, 1, 1, 1)
+        mult = jax.random.uniform(r_mult, shape, minval=self.multiplier[0],
+                                  maxval=self.multiplier[1])
+        x = img.astype(jnp.float32) * mult
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = jnp.clip(out, 0, 255).astype(img.dtype)
+        batch["image"] = out
+        return batch
+
+
+@TRANSFORMS.register_class
+class RandomToneCurve(BaseTransform):
+    """Random bezier tone curve on [0,1] intensities."""
+
+    device_capable = True
+
+    def __init__(self, scale: float = 0.1, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.scale = scale
+
+    @staticmethod
+    def _curve(x, low, high):
+        # quadratic bezier through (0,0), control points from low/high
+        t = x
+        return np.clip(3 * (1 - t) ** 2 * t * low + 3 * (1 - t) * t ** 2 * high
+                       + t ** 3, 0, 1)
+
+    def apply(self, image, **params):
+        low = float(np.clip(self.rng.normal(0.25, self.scale), 0, 1))
+        high = float(np.clip(self.rng.normal(0.75, self.scale), 0, 1))
+        img, was_uint8 = _to_float01(image)
+        return _from_float01(self._curve(img, low, high), was_uint8)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
+        r_apply, r_low, r_high = jax.random.split(rng, 3)
+        low = jnp.clip(0.25 + self.scale * jax.random.normal(r_low, (n, 1, 1, 1)), 0, 1)
+        high = jnp.clip(0.75 + self.scale * jax.random.normal(r_high, (n, 1, 1, 1)), 0, 1)
+        t = x
+        y = jnp.clip(3 * (1 - t) ** 2 * t * low + 3 * (1 - t) * t ** 2 * high + t ** 3,
+                     0, 1)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, x)
+        if is_int:
+            out = jnp.clip(out * 255.0 + 0.5, 0, 255).astype(img.dtype)
+        batch["image"] = out
+        return batch
+
+
+@TRANSFORMS.register_class
+class ChannelDropout(BaseTransform):
+    def __init__(self, channel_drop_range=(1, 1), fill_value=0,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.channel_drop_range = tuple(channel_drop_range)
+        self.fill_value = fill_value
+
+    def apply(self, image, **params):
+        c = image.shape[-1]
+        n_drop = int(self.rng.integers(self.channel_drop_range[0],
+                                       self.channel_drop_range[1] + 1))
+        n_drop = min(n_drop, c - 1)
+        drop = self.rng.choice(c, size=n_drop, replace=False)
+        out = image.copy()
+        out[..., drop] = self.fill_value
+        return out
+
+
+@TRANSFORMS.register_class
+class PixelDropout(BaseTransform):
+    device_capable = True
+
+    def __init__(self, dropout_prob: float = 0.01, per_channel: bool = False,
+                 drop_value=0, mask_drop_value=None, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.dropout_prob = dropout_prob
+        self.per_channel = per_channel
+        self.drop_value = drop_value
+        self.mask_drop_value = mask_drop_value
+
+    def apply(self, image, **params):
+        shape = image.shape if self.per_channel else image.shape[:2] + (1,)
+        drop = self.rng.random(shape) < self.dropout_prob
+        drop = np.broadcast_to(drop, image.shape)
+        out = image.copy()
+        out[drop] = self.drop_value
+        return out
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, c = img.shape
+        r_apply, r_drop = jax.random.split(rng)
+        shape = (n, h, w, c) if self.per_channel else (n, h, w, 1)
+        drop = jax.random.bernoulli(r_drop, self.dropout_prob, shape)
+        dropped = jnp.where(drop, jnp.asarray(self.drop_value, img.dtype), img)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, dropped, img)
+        return batch
+
+
+@TRANSFORMS.register_class
+class GridDropout(BaseTransform):
+    """Regular grid of dropped square regions."""
+
+    def __init__(self, ratio: float = 0.5, unit_size_min=None, unit_size_max=None,
+                 holes_number_x=None, holes_number_y=None, shift_x: int = 0,
+                 shift_y: int = 0, random_offset: bool = False, fill_value=0,
+                 mask_fill_value=None, always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.ratio = ratio
+        self.unit_size_min = unit_size_min
+        self.unit_size_max = unit_size_max
+        self.holes_number_x = holes_number_x
+        self.holes_number_y = holes_number_y
+        self.shift_x, self.shift_y = shift_x, shift_y
+        self.random_offset = random_offset
+        self.fill_value = fill_value
+        self.mask_fill_value = mask_fill_value
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        if self.unit_size_min is not None and self.unit_size_max is not None:
+            unit = int(self.rng.integers(self.unit_size_min, self.unit_size_max + 1))
+            ux = uy = unit
+        else:
+            ux = w // (self.holes_number_x or 8)
+            uy = h // (self.holes_number_y or 8)
+        hole_w = max(1, int(ux * self.ratio))
+        hole_h = max(1, int(uy * self.ratio))
+        if self.random_offset:
+            sx = int(self.rng.integers(0, max(ux - hole_w, 0) + 1))
+            sy = int(self.rng.integers(0, max(uy - hole_h, 0) + 1))
+        else:
+            sx, sy = self.shift_x, self.shift_y
+        return {"ux": max(ux, 1), "uy": max(uy, 1), "hw": hole_w, "hh": hole_h,
+                "sx": sx, "sy": sy}
+
+    def _mask(self, h, w, ux, uy, hw, hh, sx, sy):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return (((yy - sy) % uy) < hh) & (((xx - sx) % ux) < hw)
+
+    def apply(self, image, ux=8, uy=8, hw=4, hh=4, sx=0, sy=0, **params):
+        drop = self._mask(image.shape[0], image.shape[1], ux, uy, hw, hh, sx, sy)
+        out = image.copy()
+        out[drop] = self.fill_value
+        return out
+
+    def apply_to_mask(self, mask, ux=8, uy=8, hw=4, hh=4, sx=0, sy=0, **params):
+        if self.mask_fill_value is None:
+            return mask
+        drop = self._mask(mask.shape[0], mask.shape[1], ux, uy, hw, hh, sx, sy)
+        out = mask.copy()
+        out[drop] = self.mask_fill_value
+        return out
+
+
+@TRANSFORMS.register_class
+class Superpixels(BaseTransform):
+    """Replace random cells of a grid segmentation with their mean color
+    (grid-based approximation of SLIC superpixels — no skimage dependency)."""
+
+    def __init__(self, p_replace=0.1, n_segments=100, max_size: int = 128,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.p_replace = (p_replace, p_replace) if isinstance(p_replace, (int, float)) \
+            else tuple(p_replace)
+        self.n_segments = (n_segments, n_segments) if isinstance(n_segments, int) \
+            else tuple(n_segments)
+
+    def apply(self, image, **params):
+        p_rep = float(self.rng.uniform(*self.p_replace))
+        n_seg = int(self.rng.integers(self.n_segments[0], self.n_segments[1] + 1))
+        h, w = image.shape[:2]
+        grid = max(1, int(np.sqrt(n_seg)))
+        out = image.copy()
+        ys = np.linspace(0, h, grid + 1, dtype=int)
+        xs = np.linspace(0, w, grid + 1, dtype=int)
+        for i in range(grid):
+            for j in range(grid):
+                if self.rng.random() < p_rep:
+                    cell = out[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                    if cell.size:
+                        cell[...] = cell.mean(axis=(0, 1), keepdims=True).astype(out.dtype)
+        return out
+
+
+@TRANSFORMS.register_class
+class RandomFog(BaseTransform):
+    def __init__(self, fog_coef_lower: float = 0.3, fog_coef_upper: float = 1.0,
+                 alpha_coef: float = 0.08, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.fog_coef = (fog_coef_lower, fog_coef_upper)
+        self.alpha_coef = alpha_coef
+
+    def apply(self, image, **params):
+        coef = float(self.rng.uniform(*self.fog_coef))
+        img, was_uint8 = _to_float01(image)
+        h, w = img.shape[:2]
+        fog = np.zeros((h, w, 1), np.float32)
+        n_blobs = max(1, int(coef * 10))
+        for _ in range(n_blobs):
+            cy, cx = self.rng.integers(0, h), self.rng.integers(0, w)
+            radius = int(max(h, w) * self.rng.uniform(0.1, 0.3) * coef)
+            cv2.circle(fog, (int(cx), int(cy)), radius, 1.0, -1)
+        fog = cv2.GaussianBlur(fog, (0, 0), sigmaX=max(h, w) * 0.05)[..., None]
+        alpha = np.clip(fog * coef * (1 + self.alpha_coef), 0, 1)
+        out = img * (1 - alpha) + 1.0 * alpha
+        return _from_float01(out, was_uint8)
+
+
+@TRANSFORMS.register_class
+class RandomRain(BaseTransform):
+    def __init__(self, slant_lower: int = -10, slant_upper: int = 10,
+                 drop_length: int = 20, drop_width: int = 1,
+                 drop_color=(200, 200, 200), blur_value: int = 7,
+                 brightness_coefficient: float = 0.7, rain_type=None,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.slant = (slant_lower, slant_upper)
+        self.drop_length = drop_length
+        self.drop_width = drop_width
+        self.drop_color = tuple(drop_color)
+        self.blur_value = blur_value
+        self.brightness_coefficient = brightness_coefficient
+        self.rain_type = rain_type
+
+    def apply(self, image, **params):
+        h, w = image.shape[:2]
+        slant = int(self.rng.integers(self.slant[0], self.slant[1] + 1))
+        n_drops = {"drizzle": h // 8, "heavy": h // 2, "torrential": h}.get(
+            self.rain_type, h // 3)
+        overlay = image.copy()
+        for _ in range(max(n_drops, 1)):
+            x = int(self.rng.integers(0, max(w - self.drop_length, 1)))
+            y = int(self.rng.integers(0, max(h - self.drop_length, 1)))
+            cv2.line(overlay, (x, y), (x + slant, y + self.drop_length),
+                     self.drop_color, self.drop_width)
+        k = self.blur_value if self.blur_value % 2 else self.blur_value + 1
+        out = cv2.blur(overlay, (k, k))
+        hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 2] *= self.brightness_coefficient
+        return cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+@TRANSFORMS.register_class
+class RandomShadow(BaseTransform):
+    def __init__(self, shadow_roi=(0, 0.5, 1, 1), num_shadows_lower: int = 1,
+                 num_shadows_upper: int = 2, shadow_dimension: int = 5,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.shadow_roi = tuple(shadow_roi)
+        self.num_shadows = (num_shadows_lower, num_shadows_upper)
+        self.shadow_dimension = shadow_dimension
+
+    def apply(self, image, **params):
+        h, w = image.shape[:2]
+        x0, y0, x1, y1 = self.shadow_roi
+        n = int(self.rng.integers(self.num_shadows[0], self.num_shadows[1] + 1))
+        img = image.astype(np.float32)
+        for _ in range(n):
+            pts = np.stack([
+                self.rng.uniform(x0 * w, x1 * w, self.shadow_dimension),
+                self.rng.uniform(y0 * h, y1 * h, self.shadow_dimension)], axis=1)
+            mask = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(mask, [pts.astype(np.int32)], 255)
+            img[mask > 0] *= 0.5
+        out = np.clip(img, 0, 255)
+        return out.astype(np.uint8) if image.dtype == np.uint8 else out
+
+
+@TRANSFORMS.register_class
+class RandomSnow(BaseTransform):
+    def __init__(self, snow_point_lower: float = 0.1, snow_point_upper: float = 0.3,
+                 brightness_coeff: float = 2.5, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.snow_point = (snow_point_lower, snow_point_upper)
+        self.brightness_coeff = brightness_coeff
+
+    def apply(self, image, **params):
+        point = float(self.rng.uniform(*self.snow_point)) * 127.5 + 85
+        hls = cv2.cvtColor(image, cv2.COLOR_RGB2HLS).astype(np.float32)
+        bright = hls[..., 1] < point
+        hls[..., 1][bright] = np.clip(hls[..., 1][bright] * self.brightness_coeff,
+                                      0, 255)
+        return cv2.cvtColor(hls.astype(np.uint8), cv2.COLOR_HLS2RGB)
+
+
+@TRANSFORMS.register_class
+class RandomSunFlare(BaseTransform):
+    def __init__(self, flare_roi=(0, 0, 1, 0.5), angle_lower: float = 0.0,
+                 angle_upper: float = 1.0, num_flare_circles_lower: int = 6,
+                 num_flare_circles_upper: int = 10, src_radius: int = 400,
+                 src_color=(255, 255, 255), always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.flare_roi = tuple(flare_roi)
+        self.num_circles = (num_flare_circles_lower, num_flare_circles_upper)
+        self.src_radius = src_radius
+        self.src_color = tuple(src_color)
+
+    def apply(self, image, **params):
+        h, w = image.shape[:2]
+        x0, y0, x1, y1 = self.flare_roi
+        cx = int(self.rng.uniform(x0 * w, max(x1 * w, x0 * w + 1)))
+        cy = int(self.rng.uniform(y0 * h, max(y1 * h, y0 * h + 1)))
+        overlay = image.astype(np.float32)
+        n = int(self.rng.integers(self.num_circles[0], self.num_circles[1] + 1))
+        for i in range(n):
+            r = int(self.rng.integers(self.src_radius // 10, self.src_radius // 3))
+            alpha = self.rng.uniform(0.05, 0.2)
+            circle = np.zeros_like(overlay)
+            ox = cx + int(self.rng.integers(-w // 4, w // 4 + 1))
+            oy = cy + int(self.rng.integers(-h // 4, h // 4 + 1))
+            cv2.circle(circle, (ox, oy), r, self.src_color, -1)
+            overlay = overlay * (1 - alpha) + circle * alpha
+        # main flare source
+        flare = np.zeros_like(overlay)
+        cv2.circle(flare, (cx, cy), min(self.src_radius, max(h, w) // 2),
+                   self.src_color, -1)
+        flare = cv2.GaussianBlur(flare, (0, 0), sigmaX=self.src_radius / 4 + 1)
+        out = np.clip(overlay + flare * 0.5, 0, 255)
+        return out.astype(np.uint8) if image.dtype == np.uint8 else out
+
+
+@TRANSFORMS.register_class
+class Spatter(BaseTransform):
+    """Rain/mud spatter occlusions via thresholded blurred noise."""
+
+    def __init__(self, mean: float = 0.65, std: float = 0.3, gauss_sigma: float = 2.0,
+                 cutout_threshold: float = 0.68, intensity: float = 0.6,
+                 mode: str = "rain", always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.mean, self.std = mean, std
+        self.gauss_sigma = gauss_sigma
+        self.cutout_threshold = cutout_threshold
+        self.intensity = intensity
+        self.mode = mode
+
+    def apply(self, image, **params):
+        img, was_uint8 = _to_float01(image)
+        h, w = img.shape[:2]
+        noise = self.rng.normal(self.mean, self.std, (h, w)).astype(np.float32)
+        noise = cv2.GaussianBlur(noise, (0, 0), sigmaX=self.gauss_sigma)
+        mask = (noise > self.cutout_threshold).astype(np.float32)[..., None]
+        if self.mode == "rain":
+            color = np.array([0.8, 0.8, 0.9], np.float32)
+        else:
+            color = np.array([0.36, 0.25, 0.18], np.float32)
+        out = img * (1 - mask * self.intensity) + color * mask * self.intensity
+        return _from_float01(out, was_uint8)
+
+
+@TRANSFORMS.register_class
+class FDA(BaseTransform):
+    """Fourier domain adaptation: swap the low-frequency FFT amplitude with a
+    reference image's (Yang & Soatto 2020). ``reference_images`` is a list of
+    file paths or arrays."""
+
+    def __init__(self, reference_images, beta_limit: float = 0.1,
+                 read_fn=None, always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.reference_images = list(reference_images)
+        self.beta_limit = (0, beta_limit) if isinstance(beta_limit, (int, float)) \
+            else tuple(beta_limit)
+
+    def _load_ref(self):
+        ref = self.reference_images[int(self.rng.integers(len(self.reference_images)))]
+        if isinstance(ref, str):
+            ref = cv2.cvtColor(cv2.imread(ref), cv2.COLOR_BGR2RGB)
+        return ref
+
+    def apply(self, image, **params):
+        beta = float(self.rng.uniform(*self.beta_limit))
+        ref = self._load_ref()
+        ref = cv2.resize(ref, (image.shape[1], image.shape[0]))
+        src, was_uint8 = _to_float01(image)
+        trg, _ = _to_float01(ref)
+        out = np.zeros_like(src)
+        h, w = src.shape[:2]
+        b = max(1, int(min(h, w) * beta))
+        for ch in range(src.shape[-1]):
+            fs = np.fft.fftshift(np.fft.fft2(src[..., ch]))
+            ft = np.fft.fftshift(np.fft.fft2(trg[..., ch]))
+            amp_s, pha_s = np.abs(fs), np.angle(fs)
+            amp_t = np.abs(ft)
+            cy, cx = h // 2, w // 2
+            amp_s[cy - b:cy + b, cx - b:cx + b] = amp_t[cy - b:cy + b, cx - b:cx + b]
+            out[..., ch] = np.real(np.fft.ifft2(np.fft.ifftshift(amp_s * np.exp(1j * pha_s))))
+        return _from_float01(np.clip(out, 0, 1), was_uint8)
+
+
+@TRANSFORMS.register_class
+class HistogramMatching(BaseTransform):
+    """Match the image histogram to a random reference image's."""
+
+    def __init__(self, reference_images, blend_ratio=(0.5, 1.0), read_fn=None,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.reference_images = list(reference_images)
+        self.blend_ratio = tuple(blend_ratio)
+
+    def _load_ref(self):
+        ref = self.reference_images[int(self.rng.integers(len(self.reference_images)))]
+        if isinstance(ref, str):
+            ref = cv2.cvtColor(cv2.imread(ref), cv2.COLOR_BGR2RGB)
+        return ref
+
+    @staticmethod
+    def _match_channel(src, ref):
+        s_values, s_idx, s_counts = np.unique(src.ravel(), return_inverse=True,
+                                              return_counts=True)
+        r_values, r_counts = np.unique(ref.ravel(), return_counts=True)
+        s_cdf = np.cumsum(s_counts).astype(np.float64) / src.size
+        r_cdf = np.cumsum(r_counts).astype(np.float64) / ref.size
+        interp = np.interp(s_cdf, r_cdf, r_values)
+        return interp[s_idx].reshape(src.shape)
+
+    def apply(self, image, **params):
+        ref = self._load_ref()
+        blend = float(self.rng.uniform(*self.blend_ratio))
+        matched = np.stack([self._match_channel(image[..., c], ref[..., c])
+                            for c in range(image.shape[-1])], axis=-1)
+        out = blend * matched + (1 - blend) * image.astype(np.float64)
+        return np.clip(out, 0, 255).astype(np.uint8) if image.dtype == np.uint8 \
+            else out.astype(image.dtype)
+
+
+@TRANSFORMS.register_class
+class PixelDistributionAdaptation(BaseTransform):
+    """Per-channel mean/std alignment to a reference image (the 'simple'
+    transform_type of the albumentations original)."""
+
+    def __init__(self, reference_images, blend_ratio=(0.25, 1.0), read_fn=None,
+                 transform_type: str = "standard", always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.reference_images = list(reference_images)
+        self.blend_ratio = tuple(blend_ratio)
+
+    def _load_ref(self):
+        ref = self.reference_images[int(self.rng.integers(len(self.reference_images)))]
+        if isinstance(ref, str):
+            ref = cv2.cvtColor(cv2.imread(ref), cv2.COLOR_BGR2RGB)
+        return ref
+
+    def apply(self, image, **params):
+        ref = self._load_ref()
+        blend = float(self.rng.uniform(*self.blend_ratio))
+        src, was_uint8 = _to_float01(image)
+        trg, _ = _to_float01(ref)
+        s_mean, s_std = src.mean((0, 1)), src.std((0, 1)) + 1e-6
+        t_mean, t_std = trg.mean((0, 1)), trg.std((0, 1)) + 1e-6
+        adapted = (src - s_mean) / s_std * t_std + t_mean
+        out = blend * adapted + (1 - blend) * src
+        return _from_float01(np.clip(out, 0, 1), was_uint8)
+
+
+@TRANSFORMS.register_class
+class TemplateTransform(BaseTransform):
+    """Blend the image with a template image."""
+
+    def __init__(self, templates, img_weight=0.5, template_weight=0.5,
+                 template_transform=None, always_apply: bool = False,
+                 p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.templates = list(templates) if isinstance(templates, (list, tuple)) \
+            else [templates]
+        self.img_weight = (img_weight, img_weight) \
+            if isinstance(img_weight, (int, float)) else tuple(img_weight)
+        self.template_weight = (template_weight, template_weight) \
+            if isinstance(template_weight, (int, float)) else tuple(template_weight)
+
+    def apply(self, image, **params):
+        t = self.templates[int(self.rng.integers(len(self.templates)))]
+        if isinstance(t, str):
+            t = cv2.cvtColor(cv2.imread(t), cv2.COLOR_BGR2RGB)
+        t = cv2.resize(t, (image.shape[1], image.shape[0]))
+        iw = float(self.rng.uniform(*self.img_weight))
+        tw = float(self.rng.uniform(*self.template_weight))
+        out = image.astype(np.float32) * iw + t.astype(np.float32) * tw
+        return np.clip(out, 0, 255).astype(np.uint8) if image.dtype == np.uint8 else out

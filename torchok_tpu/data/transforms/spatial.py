@@ -573,3 +573,455 @@ class Affine(BaseTransform):
         h, w = mask.shape[:2]
         return cv2.warpAffine(mask, self._matrix(h, w, sc, tx, ty, ang, sh),
                               (w, h), flags=cv2.INTER_NEAREST)
+
+
+# ----------------------- extended crop / geometry ops -----------------------
+# (completing the reference's registry surface, reference:
+#  torchok/data/transforms/__init__.py:28-64)
+
+def _shift_clip_bboxes(bboxes, x0, y0, crop_w, crop_h):
+    b = np.asarray(bboxes, np.float32).reshape(-1, 4).copy()
+    b[:, [0, 2]] -= x0
+    b[:, [1, 3]] -= y0
+    b[:, [0, 2]] = np.clip(b[:, [0, 2]], 0, crop_w)
+    b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, crop_h)
+    return b
+
+
+@TRANSFORMS.register_class
+class RandomSizedCrop(BaseTransform):
+    """Crop a random-sized window and resize to (height, width)."""
+
+    def __init__(self, min_max_height, height: int, width: int,
+                 w2h_ratio: float = 1.0, interpolation: int = _INTERP,
+                 always_apply: bool = False, p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.min_max_height = tuple(min_max_height)
+        self.height, self.width = height, width
+        self.w2h_ratio = w2h_ratio
+        self.interpolation = interpolation
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        crop_h = int(self.rng.integers(self.min_max_height[0],
+                                       self.min_max_height[1] + 1))
+        crop_w = min(int(round(crop_h * self.w2h_ratio)), w)
+        crop_h = min(crop_h, h)
+        y0 = int(self.rng.integers(0, h - crop_h + 1))
+        x0 = int(self.rng.integers(0, w - crop_w + 1))
+        return {"y0": y0, "x0": x0, "ch": crop_h, "cw": crop_w}
+
+    def apply(self, image, y0=0, x0=0, ch=1, cw=1, **params):
+        crop = image[y0:y0 + ch, x0:x0 + cw]
+        return _resize(crop, self.height, self.width, self.interpolation)
+
+    def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
+        crop = mask[y0:y0 + ch, x0:x0 + cw]
+        return _resize(crop, self.height, self.width, cv2.INTER_NEAREST)
+
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        b = _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+        scale = np.array([self.width / cw, self.height / ch] * 2, np.float32)
+        return b * scale
+
+
+@TRANSFORMS.register_class
+class BBoxSafeRandomCrop(BaseTransform):
+    """Random crop that always contains every bbox (albumentations
+    semantics: the crop window is the bbox union, optionally eroded)."""
+
+    def __init__(self, erosion_rate: float = 0.0, always_apply: bool = False,
+                 p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.erosion_rate = erosion_rate
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        bboxes = sample.get("bboxes")
+        if bboxes is None or len(bboxes) == 0:
+            # no boxes: behave like a random-size crop of the full frame
+            ch = int(h * (1 - self.erosion_rate * self.rng.random()))
+            cw = int(w * (1 - self.erosion_rate * self.rng.random()))
+            y0 = int(self.rng.integers(0, h - ch + 1))
+            x0 = int(self.rng.integers(0, w - cw + 1))
+            return {"y0": y0, "x0": x0, "ch": max(ch, 1), "cw": max(cw, 1)}
+        b = np.asarray(bboxes, np.float32).reshape(-1, 4)
+        ux0, uy0 = float(b[:, 0].min()), float(b[:, 1].min())
+        ux1, uy1 = float(b[:, 2].max()), float(b[:, 3].max())
+        x0 = int(self.rng.uniform(0, ux0)) if ux0 > 0 else 0
+        y0 = int(self.rng.uniform(0, uy0)) if uy0 > 0 else 0
+        x1 = int(self.rng.uniform(ux1, w)) if ux1 < w else w
+        y1 = int(self.rng.uniform(uy1, h)) if uy1 < h else h
+        return {"y0": y0, "x0": x0, "ch": max(y1 - y0, 1), "cw": max(x1 - x0, 1)}
+
+    def apply(self, image, y0=0, x0=0, ch=1, cw=1, **params):
+        return image[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
+        return mask[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        return _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+
+
+@TRANSFORMS.register_class
+class RandomSizedBBoxSafeCrop(BBoxSafeRandomCrop):
+    """BBox-safe crop followed by resize to (height, width)."""
+
+    def __init__(self, height: int, width: int, erosion_rate: float = 0.0,
+                 interpolation: int = _INTERP, always_apply: bool = False,
+                 p: float = 1.0, **_):
+        super().__init__(erosion_rate, always_apply, p)
+        self.height, self.width = height, width
+        self.interpolation = interpolation
+
+    def apply(self, image, y0=0, x0=0, ch=1, cw=1, **params):
+        crop = image[y0:y0 + ch, x0:x0 + cw]
+        return _resize(crop, self.height, self.width, self.interpolation)
+
+    def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
+        crop = mask[y0:y0 + ch, x0:x0 + cw]
+        return _resize(crop, self.height, self.width, cv2.INTER_NEAREST)
+
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        b = _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+        scale = np.array([self.width / cw, self.height / ch] * 2, np.float32)
+        return b * scale
+
+
+@TRANSFORMS.register_class
+class RandomCropFromBorders(BaseTransform):
+    def __init__(self, crop_left: float = 0.1, crop_right: float = 0.1,
+                 crop_top: float = 0.1, crop_bottom: float = 0.1,
+                 always_apply: bool = False, p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.crop_left, self.crop_right = crop_left, crop_right
+        self.crop_top, self.crop_bottom = crop_top, crop_bottom
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        x0 = int(self.rng.integers(0, max(int(w * self.crop_left), 0) + 1))
+        x1 = w - int(self.rng.integers(0, max(int(w * self.crop_right), 0) + 1))
+        y0 = int(self.rng.integers(0, max(int(h * self.crop_top), 0) + 1))
+        y1 = h - int(self.rng.integers(0, max(int(h * self.crop_bottom), 0) + 1))
+        return {"y0": y0, "x0": x0, "ch": max(y1 - y0, 1), "cw": max(x1 - x0, 1)}
+
+    def apply(self, image, y0=0, x0=0, ch=1, cw=1, **params):
+        return image[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
+        return mask[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        return _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+
+
+@TRANSFORMS.register_class
+class RandomCropNearBBox(BaseTransform):
+    """Crop around the sample's ``cropping_bbox`` with random jitter."""
+
+    def __init__(self, max_part_shift=(0.3, 0.3), cropping_box_key: str = "cropping_bbox",
+                 always_apply: bool = False, p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.max_part_shift = (max_part_shift, max_part_shift) \
+            if isinstance(max_part_shift, (int, float)) else tuple(max_part_shift)
+        self.cropping_box_key = cropping_box_key
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        box = sample.get(self.cropping_box_key)
+        if box is None:
+            return {"y0": 0, "x0": 0, "ch": h, "cw": w}
+        bx0, by0, bx1, by1 = [float(v) for v in box]
+        sx = (bx1 - bx0) * self.max_part_shift[1]
+        sy = (by1 - by0) * self.max_part_shift[0]
+        x0 = int(np.clip(bx0 - self.rng.uniform(0, sx), 0, w - 1))
+        y0 = int(np.clip(by0 - self.rng.uniform(0, sy), 0, h - 1))
+        x1 = int(np.clip(bx1 + self.rng.uniform(0, sx), x0 + 1, w))
+        y1 = int(np.clip(by1 + self.rng.uniform(0, sy), y0 + 1, h))
+        return {"y0": y0, "x0": x0, "ch": y1 - y0, "cw": x1 - x0}
+
+    def apply(self, image, y0=0, x0=0, ch=1, cw=1, **params):
+        return image[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
+        return mask[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        return _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+
+
+@TRANSFORMS.register_class
+class CropAndPad(BaseTransform):
+    """Crop (negative) or pad (positive) each side by px or percent."""
+
+    def __init__(self, px=None, percent=None, pad_mode: int = cv2.BORDER_CONSTANT,
+                 pad_cval=0, pad_cval_mask=0, keep_size: bool = True,
+                 sample_independently: bool = True, interpolation: int = _INTERP,
+                 always_apply: bool = False, p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.px = px
+        self.percent = percent
+        self.pad_mode = pad_mode
+        self.pad_cval = pad_cval
+        self.pad_cval_mask = pad_cval_mask
+        self.keep_size = keep_size
+        self.interpolation = interpolation
+
+    def _amounts(self, h, w):
+        def draw(spec):
+            if isinstance(spec, (int, float)):
+                return [spec] * 4
+            if len(spec) == 2:
+                return [float(self.rng.uniform(spec[0], spec[1])) for _ in range(4)]
+            return list(spec)
+        if self.px is not None:
+            return [int(v) for v in draw(self.px)]
+        amounts = draw(self.percent if self.percent is not None else 0)
+        return [int(amounts[0] * h), int(amounts[1] * w),
+                int(amounts[2] * h), int(amounts[3] * w)]
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        top, right, bottom, left = self._amounts(h, w)
+        return {"top": top, "right": right, "bottom": bottom, "left": left,
+                "orig_h": h, "orig_w": w}
+
+    def _crop_pad(self, arr, top, right, bottom, left, cval, interp):
+        h, w = arr.shape[:2]
+        # negative = crop, positive = pad
+        y0, y1 = max(-top, 0), h - max(-bottom, 0)
+        x0, x1 = max(-left, 0), w - max(-right, 0)
+        out = arr[y0:max(y1, y0 + 1), x0:max(x1, x0 + 1)]
+        pt, pb = max(top, 0), max(bottom, 0)
+        pl, pr = max(left, 0), max(right, 0)
+        if pt or pb or pl or pr:
+            out = cv2.copyMakeBorder(out, pt, pb, pl, pr, self.pad_mode, value=cval)
+        if self.keep_size and out.shape[:2] != (h, w):
+            out = _resize(out, h, w, interp)
+        return out
+
+    def apply(self, image, top=0, right=0, bottom=0, left=0, **params):
+        return self._crop_pad(image, top, right, bottom, left, self.pad_cval,
+                              self.interpolation)
+
+    def apply_to_mask(self, mask, top=0, right=0, bottom=0, left=0, **params):
+        return self._crop_pad(mask, top, right, bottom, left, self.pad_cval_mask,
+                              cv2.INTER_NEAREST)
+
+
+@TRANSFORMS.register_class
+class CropNonEmptyMaskIfExists(BaseTransform):
+    """Crop a window containing mask-positive pixels when the mask is
+    non-empty; plain random crop otherwise."""
+
+    def __init__(self, height: int, width: int, ignore_values=None,
+                 ignore_channels=None, always_apply: bool = False,
+                 p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.height, self.width = height, width
+        self.ignore_values = ignore_values
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        ch, cw = min(self.height, h), min(self.width, w)
+        mask = sample.get("mask")
+        if mask is not None:
+            m = np.asarray(mask)
+            if self.ignore_values is not None:
+                m = np.where(np.isin(m, self.ignore_values), 0, m)
+            ys, xs = np.nonzero(m if m.ndim == 2 else m.any(-1))
+            if len(ys):
+                i = int(self.rng.integers(len(ys)))
+                cy, cx = int(ys[i]), int(xs[i])
+                y0 = int(np.clip(cy - self.rng.integers(0, ch), 0, h - ch))
+                x0 = int(np.clip(cx - self.rng.integers(0, cw), 0, w - cw))
+                return {"y0": y0, "x0": x0, "ch": ch, "cw": cw}
+        y0 = int(self.rng.integers(0, h - ch + 1))
+        x0 = int(self.rng.integers(0, w - cw + 1))
+        return {"y0": y0, "x0": x0, "ch": ch, "cw": cw}
+
+    def apply(self, image, y0=0, x0=0, ch=1, cw=1, **params):
+        return image[y0:y0 + ch, x0:x0 + cw]
+
+    def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
+        return mask[y0:y0 + ch, x0:x0 + cw]
+
+
+@TRANSFORMS.register_class
+class RandomGridShuffle(BaseTransform):
+    """Shuffle the cells of an (n, m) grid; image and mask share the
+    permutation."""
+
+    def __init__(self, grid=(3, 3), always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.grid = tuple(grid)
+
+    def get_params(self, sample):
+        n = self.grid[0] * self.grid[1]
+        return {"perm": self.rng.permutation(n)}
+
+    def _shuffle(self, arr, perm):
+        gh, gw = self.grid
+        h, w = arr.shape[:2]
+        ys = np.linspace(0, h, gh + 1, dtype=int)
+        xs = np.linspace(0, w, gw + 1, dtype=int)
+        # equal-size cells required for swapping: use the smallest cell size
+        ch = min(np.diff(ys)) if gh > 1 else h
+        cw = min(np.diff(xs)) if gw > 1 else w
+        out = arr.copy()
+        cells = [(ys[i], xs[j]) for i in range(gh) for j in range(gw)]
+        for dst_idx, src_idx in enumerate(perm):
+            dy, dx = cells[dst_idx]
+            sy, sx = cells[src_idx]
+            out[dy:dy + ch, dx:dx + cw] = arr[sy:sy + ch, sx:sx + cw]
+        return out
+
+    def apply(self, image, perm=None, **params):
+        return image if perm is None else self._shuffle(image, perm)
+
+    def apply_to_mask(self, mask, perm=None, **params):
+        return mask if perm is None else self._shuffle(mask, perm)
+
+
+@TRANSFORMS.register_class
+class SafeRotate(BaseTransform):
+    """Rotate without cutting corners: the frame is scaled so the rotated
+    image fits, output size preserved."""
+
+    def __init__(self, limit=90, interpolation: int = _INTERP,
+                 border_mode: int = cv2.BORDER_REFLECT_101, value=None,
+                 mask_value=None, always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.limit = (-limit, limit) if isinstance(limit, (int, float)) else tuple(limit)
+        self.interpolation = interpolation
+        self.border_mode = border_mode
+        self.value = value
+        self.mask_value = mask_value
+
+    def get_params(self, sample):
+        return {"angle": float(self.rng.uniform(*self.limit))}
+
+    def _rotate(self, img, angle, interp, value):
+        h, w = img.shape[:2]
+        rad = np.deg2rad(angle)
+        new_w = abs(w * np.cos(rad)) + abs(h * np.sin(rad))
+        new_h = abs(w * np.sin(rad)) + abs(h * np.cos(rad))
+        scale = min(w / new_w, h / new_h)
+        m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, scale)
+        return cv2.warpAffine(img, m, (w, h), flags=interp,
+                              borderMode=self.border_mode, borderValue=value)
+
+    def apply(self, image, angle=0.0, **params):
+        return self._rotate(image, angle, self.interpolation, self.value)
+
+    def apply_to_mask(self, mask, angle=0.0, **params):
+        return self._rotate(mask, angle, cv2.INTER_NEAREST, self.mask_value)
+
+
+@TRANSFORMS.register_class
+class PiecewiseAffine(BaseTransform):
+    """Local distortions from random displacement of a coarse control grid
+    (smooth remap approximation of the skimage PiecewiseAffine original)."""
+
+    def __init__(self, scale=(0.03, 0.05), nb_rows: int = 4, nb_cols: int = 4,
+                 interpolation: int = _INTERP, mask_interpolation: int = 0,
+                 cval: int = 0, always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.scale = (scale, scale) if isinstance(scale, (int, float)) else tuple(scale)
+        self.nb_rows = nb_rows
+        self.nb_cols = nb_cols
+        self.interpolation = interpolation
+
+    def get_params(self, sample):
+        h, w = sample["image"].shape[:2]
+        scale = float(self.rng.uniform(*self.scale))
+        dgrid = self.rng.normal(0, scale * min(h, w),
+                                (self.nb_rows, self.nb_cols, 2)).astype(np.float32)
+        return {"dgrid": dgrid}
+
+    def _maps(self, h, w, dgrid):
+        dy = cv2.resize(dgrid[..., 0], (w, h), interpolation=cv2.INTER_CUBIC)
+        dx = cv2.resize(dgrid[..., 1], (w, h), interpolation=cv2.INTER_CUBIC)
+        xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        return xx + dx, yy + dy
+
+    def apply(self, image, dgrid=None, **params):
+        if dgrid is None:
+            return image
+        mx, my = self._maps(image.shape[0], image.shape[1], dgrid)
+        return cv2.remap(image, mx, my, self.interpolation,
+                         borderMode=cv2.BORDER_REFLECT_101)
+
+    def apply_to_mask(self, mask, dgrid=None, **params):
+        if dgrid is None:
+            return mask
+        mx, my = self._maps(mask.shape[0], mask.shape[1], dgrid)
+        return cv2.remap(mask, mx, my, cv2.INTER_NEAREST,
+                         borderMode=cv2.BORDER_REFLECT_101)
+
+
+@TRANSFORMS.register_class
+class MaskDropout(BaseTransform):
+    """Zero out up to ``max_objects`` connected components of the mask in both
+    image and mask."""
+
+    def __init__(self, max_objects: int = 1, image_fill_value=0, mask_fill_value=0,
+                 always_apply: bool = False, p: float = 0.5, **_):
+        super().__init__(always_apply, p)
+        self.max_objects = max_objects
+        self.image_fill_value = image_fill_value
+        self.mask_fill_value = mask_fill_value
+
+    def get_params(self, sample):
+        mask = sample.get("mask")
+        if mask is None:
+            return {"drop": None}
+        m = np.asarray(mask)
+        bin_mask = (m if m.ndim == 2 else m.any(-1)).astype(np.uint8)
+        n_labels, labels = cv2.connectedComponents(bin_mask)
+        if n_labels <= 1:
+            return {"drop": None}
+        k = int(self.rng.integers(1, self.max_objects + 1))
+        chosen = self.rng.choice(np.arange(1, n_labels),
+                                 size=min(k, n_labels - 1), replace=False)
+        return {"drop": np.isin(labels, chosen)}
+
+    def apply(self, image, drop=None, **params):
+        if drop is None:
+            return image
+        out = image.copy()
+        out[drop] = self.image_fill_value
+        return out
+
+    def apply_to_mask(self, mask, drop=None, **params):
+        if drop is None:
+            return mask
+        out = mask.copy()
+        out[drop] = self.mask_fill_value
+        return out
+
+
+@TRANSFORMS.register_class
+class Lambda(BaseTransform):
+    """User-supplied callables (albumentations Lambda). YAML cannot carry
+    callables, so this is constructable only from python code — registered
+    for API parity."""
+
+    def __init__(self, image=None, mask=None, bboxes=None, name=None,
+                 always_apply: bool = False, p: float = 1.0, **_):
+        super().__init__(always_apply, p)
+        self.image_fn = image
+        self.mask_fn = mask
+        self.bboxes_fn = bboxes
+        self.name = name
+
+    def apply(self, image, **params):
+        return self.image_fn(image) if self.image_fn else image
+
+    def apply_to_mask(self, mask, **params):
+        return self.mask_fn(mask) if self.mask_fn else mask
+
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        return self.bboxes_fn(bboxes) if self.bboxes_fn else bboxes

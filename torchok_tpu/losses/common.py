@@ -330,6 +330,117 @@ class MultiLabelSoftMarginLoss:
 
 
 @LOSSES.register_class
+class MultiMarginLoss:
+    """torch.nn.MultiMarginLoss: multi-class hinge over logits."""
+
+    def __init__(self, p: int = 1, margin: float = 1.0, weight=None,
+                 reduction: str = "mean"):
+        self.p = p
+        self.margin = margin
+        self.weight = _as_array(weight)
+        self.reduction = reduction
+
+    def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        x = input.astype(jnp.float32)
+        tgt = target.astype(jnp.int32)
+        num_classes = x.shape[-1]
+        x_t = jnp.take_along_axis(x, tgt[..., None], axis=-1)
+        hinge = jnp.maximum(self.margin - x_t + x, 0.0) ** self.p
+        if self.weight is not None:
+            hinge = hinge * self.weight[tgt][..., None]
+        not_target = 1.0 - jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
+        loss = jnp.sum(hinge * not_target, axis=-1) / num_classes
+        return _reduce(loss, self.reduction)
+
+
+@LOSSES.register_class
+class MultiLabelMarginLoss:
+    """torch.nn.MultiLabelMarginLoss: target rows list class indices, padded
+    with -1 after the first -1 (torch semantics)."""
+
+    def __init__(self, reduction: str = "mean"):
+        self.reduction = reduction
+
+    def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        x = input.astype(jnp.float32)
+        tgt = target.astype(jnp.int32)
+        num_classes = x.shape[-1]
+        # valid target entries: before the first -1
+        valid = jnp.cumprod(tgt >= 0, axis=-1).astype(bool)
+        safe = jnp.where(valid, tgt, 0)
+        onehots = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32) * \
+            valid[..., None].astype(jnp.float32)
+        is_target = jnp.sum(onehots, axis=-2) > 0
+        x_t = jnp.take_along_axis(x, safe, axis=-1)  # (N, T) target scores
+        # hinge of every non-target class j against every valid target y:
+        # max(0, 1 - (x[y] - x[j]))
+        hinge = jnp.maximum(1.0 - (x_t[..., :, None] - x[..., None, :]), 0.0)
+        mask = valid[..., :, None] * (~is_target)[..., None, :]
+        loss = jnp.sum(hinge * mask, axis=(-1, -2)) / num_classes
+        return _reduce(loss, self.reduction)
+
+
+@LOSSES.register_class
+class TripletMarginWithDistanceLoss:
+    """torch.nn.TripletMarginWithDistanceLoss with the distance function
+    selected by name ('euclidean' | 'cosine') since YAML cannot carry
+    callables."""
+
+    def __init__(self, distance_function: str = "euclidean", margin: float = 1.0,
+                 swap: bool = False, reduction: str = "mean"):
+        self.distance_function = distance_function
+        self.margin = margin
+        self.swap = swap
+        self.reduction = reduction
+
+    def _dist(self, a, b):
+        if self.distance_function == "cosine":
+            cos = jnp.sum(a * b, -1) / (
+                jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1) + 1e-12)
+            return 1.0 - cos
+        return jnp.linalg.norm(a - b, axis=-1)
+
+    def __call__(self, anchor, positive, negative):
+        d_ap = self._dist(anchor, positive)
+        d_an = self._dist(anchor, negative)
+        if self.swap:
+            d_an = jnp.minimum(d_an, self._dist(positive, negative))
+        loss = jnp.maximum(d_ap - d_an + self.margin, 0.0)
+        return _reduce(loss, self.reduction)
+
+
+@LOSSES.register_class
+class CTCLoss:
+    """CTC loss via optax.ctc_loss (log-semiring forward algorithm as a
+    lax.scan — TPU-friendly, no host sync). Inputs follow torch layout:
+    log_probs (T, N, C), targets (N, S) zero-padded, plus per-sample lengths."""
+
+    def __init__(self, blank: int = 0, reduction: str = "mean",
+                 zero_infinity: bool = False):
+        self.blank = blank
+        self.reduction = reduction
+        self.zero_infinity = zero_infinity
+
+    def __call__(self, log_probs: jnp.ndarray, targets: jnp.ndarray,
+                 input_lengths: jnp.ndarray, target_lengths: jnp.ndarray) -> jnp.ndarray:
+        import optax as _optax
+        logits = jnp.transpose(log_probs, (1, 0, 2)).astype(jnp.float32)  # (N, T, C)
+        t_steps = logits.shape[1]
+        s_len = targets.shape[1]
+        logit_pad = (jnp.arange(t_steps)[None, :] >=
+                     input_lengths[:, None]).astype(jnp.float32)
+        label_pad = (jnp.arange(s_len)[None, :] >=
+                     target_lengths[:, None]).astype(jnp.float32)
+        loss = _optax.ctc_loss(logits, logit_pad, targets.astype(jnp.int32),
+                               label_pad, blank_id=self.blank)
+        if self.zero_infinity:
+            loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
+        if self.reduction == "mean":  # torch: per-sample loss / target_length
+            return jnp.mean(loss / jnp.maximum(target_lengths, 1))
+        return _reduce(loss, self.reduction)
+
+
+@LOSSES.register_class
 class Identity:
     """Pass-through: forwards a model output already containing a loss value."""
 

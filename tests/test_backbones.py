@@ -76,3 +76,39 @@ def test_output_stride_dilation():
 def test_registry_list_models():
     names = BACKBONES.list_models("resnet*")
     assert "resnet18" in names and "resnet50" in names
+
+
+NEW_FAMILY_VARIANTS = [
+    # name, out_channels at 64x64 input
+    "resnetblur18", "resnet50_gn", "seresnetaa50d", "ecaresnetlight",
+    "senet154", "mixnet_s", "fbnetv3_b", "tf_efficientnetv2_b0",
+    "efficientnet_es", "spnasnet_100", "tf_mobilenetv3_large_minimal_100",
+]
+
+
+@pytest.mark.parametrize("name", NEW_FAMILY_VARIANTS)
+def test_extended_variants_forward(name):
+    model = BACKBONES.get(name)()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(variables, x, False)
+    assert out.shape[1] == 2 and out.shape[2] == 2  # stride 32
+    assert out.shape[-1] == model.out_channels
+    feats = model.apply(variables, x, False, method=model.forward_features)
+    assert tuple(f.shape[-1] for f in feats[1:]) == model.out_encoder_channels
+
+
+def test_backbone_registry_covers_reference_names():
+    """Every backbone entrypoint the reference registers must exist here."""
+    import re, glob, os
+    ref = set()
+    ref_dir = "/root/reference/torchok/models/backbones"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout unavailable")
+    for f in glob.glob(ref_dir + "/*.py"):
+        for m in re.finditer(r"@BACKBONES\.register_class\s*\ndef\s+(\w+)",
+                             open(f).read()):
+            ref.add(m.group(1))
+    ours = set(BACKBONES.list_models())
+    missing = sorted(ref - ours)
+    assert not missing, f"missing backbone variants: {missing[:20]} (+{len(missing)})"

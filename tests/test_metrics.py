@@ -146,3 +146,68 @@ def test_metrics_manager_multi_dataloader(data):
     assert "valid/Accuracy_dataloader_0" in log
     assert "valid/Accuracy_dataloader_1" in log
     assert log["valid/Accuracy_dataloader_0"] != log["valid/Accuracy_dataloader_1"]
+
+
+def test_stat_scores_counts():
+    from torchok_tpu.constructor import METRICS
+    m = METRICS.get("StatScores")(task="multiclass", num_classes=3, average="micro")
+    state = m.empty_state()
+    preds = jnp.asarray(np.array([[5, 0, 0], [0, 5, 0], [5, 0, 0], [0, 0, 5]],
+                                 np.float32))
+    target = jnp.asarray(np.array([0, 1, 1, 2]))
+    state = m.update(state, preds=preds, target=target)
+    out = m.compute(state)
+    assert out["tp"] == 3 and out["support"] == 4
+    # micro multiclass: fp == fn == number of misclassified samples
+    assert out["fp"] == 1 and out["fn"] == 1
+
+
+def test_hinge_loss_perfect_predictions_zero():
+    from torchok_tpu.constructor import METRICS
+    m = METRICS.get("HingeLoss")(task="multiclass", num_classes=3)
+    state = m.empty_state()
+    preds = jnp.asarray(np.array([[9, 0, 0], [0, 9, 0]], np.float32))
+    target = jnp.asarray(np.array([0, 1]))
+    state = m.update(state, preds=preds, target=target)
+    assert m.compute(state) == 0.0
+    # margin 0 (tie) -> hinge 1
+    state2 = m.empty_state()
+    state2 = m.update(state2, preds=jnp.asarray(np.array([[1., 1., 0.]])),
+                      target=jnp.asarray(np.array([0])))
+    assert abs(m.compute(state2) - 1.0) < 1e-6
+
+
+def test_roc_and_pr_curve_shapes():
+    from torchok_tpu.constructor import METRICS
+    rng = np.random.default_rng(0)
+    scores = rng.uniform(0, 1, size=(64, 1)).astype(np.float32)
+    labels = (scores[:, 0] > 0.5).astype(np.int64)[:, None]
+    for name, first_is_decreasing in [("ROC", False), ("PrecisionRecallCurve", None)]:
+        m = METRICS.get(name)(task="binary")
+        state = m.empty_state()
+        state = m.update(state, preds=jnp.asarray(scores), target=jnp.asarray(labels))
+        a, b, th = m.compute(state)
+        assert a.shape == th.shape and b.shape == th.shape
+
+
+def test_smape_wmape_tweedie():
+    from torchok_tpu.constructor import METRICS
+    p = jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32))
+    t = jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32))
+    for name in ["SymmetricMeanAbsolutePercentageError",
+                 "WeightedMeanAbsolutePercentageError"]:
+        m = METRICS.get(name)()
+        s = m.update(m.empty_state(), preds=p, target=t)
+        assert abs(m.compute(s)) < 1e-7, name
+    m = METRICS.get("TweedieDevianceScore")(power=0)
+    s = m.update(m.empty_state(), preds=p, target=t + 1.0)
+    assert abs(m.compute(s) - 1.0) < 1e-6  # MSE form: mean((t-p)^2) == 1
+
+
+def test_spectral_distortion_index_zero_for_identical():
+    from torchok_tpu.constructor import METRICS
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, size=(2, 16, 16, 3)).astype(np.float32))
+    m = METRICS.get("SpectralDistortionIndex")()
+    s = m.update(m.empty_state(), preds=img, target=img)
+    assert abs(m.compute(s)) < 1e-6

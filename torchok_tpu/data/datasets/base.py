@@ -101,7 +101,15 @@ class ImageDataset(ABC):
 
     # ------------------------------ reading --------------------------------
     def _read_image(self, image_path: str) -> np.ndarray:
-        if self.reader_library == "opencv":
+        # first-party native decode (GIL-free libjpeg/libpng, see
+        # torchok_tpu/native): JPEG -> RGB, PNG -> RGBA; falls through to the
+        # configured reader for other formats or when the toolchain is absent
+        if self.reader_library in ("opencv", "native"):
+            from torchok_tpu import native as tk_native
+            image = tk_native.decode_file(str(image_path))
+            if image is not None:
+                return self._convert_image_format(image)
+        if self.reader_library in ("opencv", "native"):
             image = cv2.imread(str(image_path), cv2.IMREAD_UNCHANGED)
             if image is None:
                 raise ValueError(f"{image_path} image does not exist")

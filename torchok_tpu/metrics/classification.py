@@ -404,3 +404,86 @@ class CalibrationError(Metric):
         if self.norm == "l2":
             return float(jnp.sqrt(jnp.sum(w * gap ** 2)))
         return float(jnp.sum(w * gap))
+
+
+@METRICS.register_class(name="StatScores")
+class StatScores(StatScoresMetric):
+    """Raw [tp, fp, tn, fn, support] counts (torchmetrics StatScores)."""
+
+    def compute(self, state):
+        stats = state["stats"]
+        if self.average in ("micro", None) or self._n == 1:
+            tp, fp, tn, fn = [float(jnp.sum(stats[:, i])) for i in range(4)]
+            return {"tp": tp, "fp": fp, "tn": tn, "fn": fn, "support": tp + fn}
+        out = {}
+        for c in range(self._n):
+            tp, fp, tn, fn = [float(stats[c, i]) for i in range(4)]
+            out.update({f"tp_{c}": tp, f"fp_{c}": fp, f"tn_{c}": tn,
+                        f"fn_{c}": fn, f"support_{c}": tp + fn})
+        return out
+
+
+@METRICS.register_class(name="HingeLoss")
+class HingeLoss(Metric):
+    """Mean multiclass (crammer-singer) or binary hinge loss over batches."""
+
+    def __init__(self, task: str = "multiclass", num_classes: Optional[int] = None,
+                 **params):
+        super().__init__(**params)
+        self.task = task
+        self.num_classes = num_classes
+
+    def empty_state(self):
+        return {"total": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, preds, target, **_):
+        if self.task == "multiclass":
+            scores = preds.reshape(-1, self.num_classes).astype(jnp.float32)
+            tgt = target.reshape(-1).astype(jnp.int32)
+            s_y = jnp.take_along_axis(scores, tgt[:, None], -1)[:, 0]
+            masked = scores - 1e30 * jax.nn.one_hot(tgt, self.num_classes)
+            margin = s_y - jnp.max(masked, axis=-1)
+            loss = jnp.maximum(1.0 - margin, 0.0)
+        else:
+            t = jnp.where(target.reshape(-1) > 0, 1.0, -1.0)
+            loss = jnp.maximum(1.0 - t * preds.reshape(-1).astype(jnp.float32), 0.0)
+        return {"total": state["total"] + jnp.sum(loss),
+                "count": state["count"] + loss.size}
+
+    def compute(self, state):
+        return float(state["total"] / jnp.maximum(state["count"], 1e-12))
+
+
+@METRICS.register_class(name="ROC")
+class ROC(_BinnedScoreMetric):
+    """Binned ROC curve. compute() returns the curve arrays (like the
+    torchmetrics original it is not loggable as a scalar epoch metric)."""
+
+    def compute(self, state):
+        hist = state["hist"]
+        tp, fp, fn, tn = hist[..., 0], hist[..., 1], hist[..., 2], hist[..., 3]
+        tpr = _safe_div(tp, tp + fn)
+        fpr = _safe_div(fp, fp + tn)
+        th = jnp.linspace(0.0, 1.0, self.n_bins)
+        import numpy as _np
+        if self.task == "binary" or self._n == 1:
+            return (_np.asarray(fpr[0]), _np.asarray(tpr[0]), _np.asarray(th))
+        return (_np.asarray(fpr), _np.asarray(tpr), _np.asarray(th))
+
+
+@METRICS.register_class(name="PrecisionRecallCurve")
+class PrecisionRecallCurve(_BinnedScoreMetric):
+    """Binned precision/recall curve; returns the curve arrays."""
+
+    def compute(self, state):
+        hist = state["hist"]
+        tp, fp, fn = hist[..., 0], hist[..., 1], hist[..., 2]
+        precision = _safe_div(tp, tp + fp)
+        recall = _safe_div(tp, tp + fn)
+        th = jnp.linspace(0.0, 1.0, self.n_bins)
+        import numpy as _np
+        if self.task == "binary" or self._n == 1:
+            return (_np.asarray(precision[0]), _np.asarray(recall[0]),
+                    _np.asarray(th))
+        return (_np.asarray(precision), _np.asarray(recall), _np.asarray(th))

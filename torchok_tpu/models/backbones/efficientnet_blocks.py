@@ -170,9 +170,58 @@ class EdgeResidual(nn.Module):
         return x
 
 
+class MixedInvertedResidual(nn.Module):
+    """'mx' block (MixNet MixConv): inverted residual whose depthwise stage
+    splits channels into groups convolved with different kernel sizes."""
+    out_chs: int
+    kernel: Tuple[int, ...] = (3, 5, 7)
+    stride: int = 1
+    exp_ratio: float = 6.0
+    se_ratio: float = 0.0
+    act: str = "swish"
+    se_gate: str = "sigmoid"
+    drop_path_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_chs = x.shape[-1]
+        shortcut = x
+        kernels = self.kernel if isinstance(self.kernel, (tuple, list)) else (self.kernel,)
+        mid = make_divisible(in_chs * self.exp_ratio)
+        if mid != in_chs:
+            x = _conv(mid, 1, name="conv_pw", dtype=self.dtype)(x)
+            x = _bn(train, "bn1", self.dtype)(x)
+            x = ACTS[self.act](x)
+        # split channels across kernel sizes (last chunk takes the remainder)
+        n = len(kernels)
+        base = mid // n
+        splits = [base] * (n - 1) + [mid - base * (n - 1)]
+        outs, start = [], 0
+        for i, (k, ch) in enumerate(zip(kernels, splits)):
+            part = x[..., start:start + ch]
+            outs.append(_conv(ch, k, self.stride, groups=ch,
+                              name=f"conv_dw_{i}", dtype=self.dtype)(part))
+            start += ch
+        x = jnp.concatenate(outs, axis=-1)
+        x = _bn(train, "bn2", self.dtype)(x)
+        x = ACTS[self.act](x)
+        if self.se_ratio > 0:
+            gate = hard_sigmoid if self.se_gate == "hard_sigmoid" else nn.sigmoid
+            x = SEModule(rd_channels=make_divisible(in_chs * self.se_ratio),
+                         act=ACTS[self.act], gate=gate, dtype=self.dtype, name="se")(x)
+        x = _conv(self.out_chs, 1, name="conv_pwl", dtype=self.dtype)(x)
+        x = _bn(train, "bn3", self.dtype)(x)
+        if self.stride == 1 and in_chs == self.out_chs:
+            x = DropPath(self.drop_path_rate, name="drop_path")(x, train)
+            x = x + shortcut
+        return x
+
+
 BLOCKS = {
     "cn": ConvBnActBlock,
     "ds": DepthwiseSeparable,
     "ir": InvertedResidual,
     "er": EdgeResidual,
+    "mx": MixedInvertedResidual,
 }

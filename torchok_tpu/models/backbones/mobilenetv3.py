@@ -165,5 +165,26 @@ _VARIANTS = {
     "lcnet_150": dict(arch=LCNET_ARCH, width_mult=1.5, stem_size=16, num_features=1280),
 }
 
+# "minimal" variants: all-3x3 kernels, no SE, plain relu (the TF minimalistic
+# ports); derived mechanically from the base tables
+def _minimalize(arch):
+    return tuple((b, r, 3, s, e, c, 0.0, "relu")
+                 for (b, r, k, s, e, c, _se, _act) in arch)
+
+
+_VARIANTS.update({
+    "tf_mobilenetv3_large_075": dict(width_mult=0.75),
+    "tf_mobilenetv3_small_075": dict(arch=MOBILENETV3_SMALL_ARCH, width_mult=0.75,
+                                     num_features=576),
+    "tf_mobilenetv3_large_minimal_100": dict(
+        arch=_minimalize(MOBILENETV3_LARGE_ARCH), width_mult=1.0, act="relu"),
+    "tf_mobilenetv3_small_minimal_100": dict(
+        arch=_minimalize(MOBILENETV3_SMALL_ARCH), width_mult=1.0, act="relu",
+        num_features=576),
+    # weight-provenance variants (ImageNet-21k MIIL pretraining)
+    "mobilenetv3_large_100_miil": dict(width_mult=1.0),
+    "mobilenetv3_large_100_miil_in21k": dict(width_mult=1.0),
+})
+
 for _name, _cfg in _VARIANTS.items():
     _entry(_name, **_cfg)

@@ -24,7 +24,7 @@ from torchok_tpu.constructor import BACKBONES
 from torchok_tpu.models.base import BaseBackbone
 from torchok_tpu.models.modules.blocks.se import SEModule, EcaModule
 from torchok_tpu.ops.common import DropPath
-from torchok_tpu.ops.image import avg_pool, max_pool
+from torchok_tpu.ops.image import avg_pool, blur_pool, max_pool
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
 logger = logging.getLogger(__name__)
@@ -38,6 +38,16 @@ def _bn(train: bool, name: str, zero_init: bool = False, dtype=None) -> nn.Batch
         scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
         dtype=dtype, name=name,
     )
+
+
+def _norm(kind: str, train: bool, name: str, zero_init: bool = False, dtype=None):
+    """'bn' (default) or 'gn' (resnet*_gn variants: GroupNorm(32))."""
+    if kind == "gn":
+        return nn.GroupNorm(
+            num_groups=32,
+            scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
+            dtype=dtype, name=name)
+    return _bn(train, name, zero_init, dtype)
 
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
@@ -75,6 +85,8 @@ class Downsample(nn.Module):
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    aa: bool = False
+    norm: str = "bn"
     dilation: int = 1
     first_dilation: Optional[int] = None
     use_downsample: bool = False
@@ -95,11 +107,15 @@ class BasicBlock(nn.Module):
         out_planes = self.planes * self.expansion
         fd = self.first_dilation or self.dilation
 
-        out = _conv(first_planes, 3, self.stride, fd, name="conv1", dtype=self.dtype)(x)
-        out = _bn(train, "bn1", dtype=self.dtype)(out)
+        use_aa = self.aa and self.stride > 1
+        out = _conv(first_planes, 3, 1 if use_aa else self.stride, fd,
+                    name="conv1", dtype=self.dtype)(x)
+        out = _norm(self.norm, train, "bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
+        if use_aa:
+            out = blur_pool(out, stride=self.stride)
         out = _conv(out_planes, 3, 1, self.dilation, name="conv2", dtype=self.dtype)(out)
-        out = _bn(train, "bn2", zero_init=self.zero_init_last, dtype=self.dtype)(out)
+        out = _norm(self.norm, train, "bn2", zero_init=self.zero_init_last, dtype=self.dtype)(out)
 
         if self.attn == "se":
             out = SEModule(dtype=self.dtype, name="se")(out)
@@ -117,6 +133,8 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
+    aa: bool = False
+    norm: str = "bn"
     dilation: int = 1
     first_dilation: Optional[int] = None
     use_downsample: bool = False
@@ -140,15 +158,18 @@ class Bottleneck(nn.Module):
         out_planes = self.planes * self.expansion
         fd = self.first_dilation or self.dilation
 
+        use_aa = self.aa and self.stride > 1
         out = _conv(first_planes, 1, name="conv1", dtype=self.dtype)(x)
-        out = _bn(train, "bn1", dtype=self.dtype)(out)
+        out = _norm(self.norm, train, "bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = _conv(width, 3, self.stride, fd, groups=self.cardinality,
-                    name="conv2", dtype=self.dtype)(out)
-        out = _bn(train, "bn2", dtype=self.dtype)(out)
+        out = _conv(width, 3, 1 if use_aa else self.stride, fd,
+                    groups=self.cardinality, name="conv2", dtype=self.dtype)(out)
+        out = _norm(self.norm, train, "bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
+        if use_aa:
+            out = blur_pool(out, stride=self.stride)
         out = _conv(out_planes, 1, name="conv3", dtype=self.dtype)(out)
-        out = _bn(train, "bn3", zero_init=self.zero_init_last, dtype=self.dtype)(out)
+        out = _norm(self.norm, train, "bn3", zero_init=self.zero_init_last, dtype=self.dtype)(out)
 
         if self.attn == "se":
             out = SEModule(dtype=self.dtype, name="se")(out)
@@ -182,6 +203,8 @@ class ResNet(BaseBackbone):
     down_kernel_size: int = 1
     avg_down: bool = False
     attn: Optional[str] = None  # None | 'se' | 'eca'
+    aa: bool = False  # anti-aliased (blur-pool) strided convs (resnetblur/aa)
+    norm: str = "bn"  # 'bn' | 'gn' (resnet*_gn variants)
     drop_path_rate: float = 0.0
     zero_init_last: bool = True
     dtype: Any = None
@@ -241,7 +264,7 @@ class ResNet(BaseBackbone):
             x = nn.Conv(self.stem_width, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)), use_bias=False,
                         kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
-        x = _bn(train, "bn1", dtype=self.dtype)(x)
+        x = _norm(self.norm, train, "bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         return x
 
@@ -264,7 +287,8 @@ class ResNet(BaseBackbone):
                     use_downsample=needs_down, avg_down=self.avg_down,
                     down_kernel_size=self.down_kernel_size,
                     reduce_first=self.block_reduce_first,
-                    attn=self.attn, drop_path_rate=dpr,
+                    attn=self.attn, aa=self.aa, norm=self.norm,
+                    drop_path_rate=dpr,
                     zero_init_last=self.zero_init_last, dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{b}",
                 )
@@ -289,6 +313,10 @@ class ResNet(BaseBackbone):
             x = _conv(self._stem_channels, 3, 2, name="stem_pool_conv", dtype=self.dtype)(x)
             x = _bn(train, "stem_pool_bn", dtype=self.dtype)(x)
             x = nn.relu(x)
+        elif self.aa:
+            # anti-aliased stem pool: dense max then blur-subsample
+            x = max_pool(x, window=3, stride=1, padding=1)
+            x = blur_pool(x, stride=2)
         else:
             x = max_pool(x, window=3, stride=2, padding=1)
         feats = self._stages(x, train)
@@ -373,7 +401,71 @@ _VARIANTS = {
                         replace_stem_pool=True, avg_down=True, attn="se"),
     "resnetrs200": dict(block=_BT, layers=(3, 24, 36, 3), stem_width=32, stem_type="deep",
                         replace_stem_pool=True, avg_down=True, attn="se"),
+    "resnetrs270": dict(block=_BT, layers=(4, 29, 53, 4), stem_width=32, stem_type="deep",
+                        replace_stem_pool=True, avg_down=True, attn="se"),
+    "resnetrs350": dict(block=_BT, layers=(4, 36, 72, 4), stem_width=32, stem_type="deep",
+                        replace_stem_pool=True, avg_down=True, attn="se"),
+    "resnetrs420": dict(block=_BT, layers=(4, 44, 87, 4), stem_width=32, stem_type="deep",
+                        replace_stem_pool=True, avg_down=True, attn="se"),
+    # remaining classic / tiered / gn
+    "resnet200": dict(block=_BT, layers=(3, 24, 36, 3)),
+    "resnet50t": dict(block=_BT, layers=(3, 4, 6, 3), stem_width=32,
+                      stem_type="deep_tiered", avg_down=True),
+    "resnet50_gn": dict(block=_BT, layers=(3, 4, 6, 3), norm="gn"),
+    # anti-aliased (blur-pool) variants
+    "resnetblur18": dict(block=_B, layers=(2, 2, 2, 2), aa=True),
+    "resnetblur50": dict(block=_BT, layers=(3, 4, 6, 3), aa=True),
+    "resnetblur50d": dict(block=_BT, layers=(3, 4, 6, 3), stem_width=32,
+                          stem_type="deep", avg_down=True, aa=True),
+    "resnetblur101d": dict(block=_BT, layers=(3, 4, 23, 3), stem_width=32,
+                           stem_type="deep", avg_down=True, aa=True),
+    "resnetaa50": dict(block=_BT, layers=(3, 4, 6, 3), aa=True),
+    "resnetaa50d": dict(block=_BT, layers=(3, 4, 6, 3), stem_width=32,
+                        stem_type="deep", avg_down=True, aa=True),
+    "resnetaa101d": dict(block=_BT, layers=(3, 4, 23, 3), stem_width=32,
+                         stem_type="deep", avg_down=True, aa=True),
+    # SE additions
+    "senet154": dict(block=_BT, layers=(3, 8, 36, 3), cardinality=64, base_width=4,
+                     stem_type="deep", stem_width=64, down_kernel_size=3,
+                     block_reduce_first=2, attn="se"),
+    "seresnet50t": dict(block=_BT, layers=(3, 4, 6, 3), stem_width=32,
+                        stem_type="deep_tiered", avg_down=True, attn="se"),
+    "seresnet152d": dict(block=_BT, layers=(3, 8, 36, 3), stem_width=32,
+                         stem_type="deep", avg_down=True, attn="se"),
+    "seresnet200d": dict(block=_BT, layers=(3, 24, 36, 3), stem_width=32,
+                         stem_type="deep", avg_down=True, attn="se"),
+    "seresnet269d": dict(block=_BT, layers=(3, 30, 48, 8), stem_width=32,
+                         stem_type="deep", avg_down=True, attn="se"),
+    "seresnetaa50d": dict(block=_BT, layers=(3, 4, 6, 3), stem_width=32,
+                          stem_type="deep", avg_down=True, attn="se", aa=True),
+    "seresnext26t_32x4d": dict(block=_BT, layers=(2, 2, 2, 2), cardinality=32,
+                               base_width=4, stem_width=32,
+                               stem_type="deep_tiered", avg_down=True, attn="se"),
+    "seresnext101_32x4d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32,
+                               base_width=4, attn="se"),
+    "seresnext101d_32x8d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32,
+                                base_width=8, stem_width=32, stem_type="deep",
+                                avg_down=True, attn="se"),
+    "seresnextaa101d_32x8d": dict(block=_BT, layers=(3, 4, 23, 3), cardinality=32,
+                                  base_width=8, stem_width=32, stem_type="deep",
+                                  avg_down=True, attn="se", aa=True),
+    # ECA additions
+    "ecaresnet200d": dict(block=_BT, layers=(3, 24, 36, 3), stem_width=32,
+                          stem_type="deep", avg_down=True, attn="eca"),
+    "ecaresnet269d": dict(block=_BT, layers=(3, 30, 48, 8), stem_width=32,
+                          stem_type="deep", avg_down=True, attn="eca"),
+    "ecaresnetlight": dict(block=_BT, layers=(1, 1, 11, 3), stem_width=32,
+                           avg_down=True, attn="eca"),
+    "ecaresnext26t_32x4d": dict(block=_BT, layers=(2, 2, 2, 2), cardinality=32,
+                                base_width=4, stem_width=32,
+                                stem_type="deep_tiered", avg_down=True, attn="eca"),
+    "ecaresnext50t_32x4d": dict(block=_BT, layers=(2, 2, 2, 2), cardinality=32,
+                                base_width=4, stem_width=32,
+                                stem_type="deep_tiered", avg_down=True, attn="eca"),
 }
+
+# weight-provenance alias (timm registers 26t and 26tn identically)
+_VARIANTS["seresnext26tn_32x4d"] = _VARIANTS["seresnext26t_32x4d"]
 
 for _name, _cfg in _VARIANTS.items():
     _make_entry(_name, **_cfg)

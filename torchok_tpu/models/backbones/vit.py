@@ -236,7 +236,45 @@ _VARIANTS = {
     "vit_huge_patch14_224": _v(1280, 32, 16, patch_size=14),
     "vit_giant_patch14_224": _v(1408, 40, 16, patch_size=14, mlp_ratio=48 / 11),
     "vit_gigantic_patch14_224": _v(1664, 48, 16, patch_size=14, mlp_ratio=64 / 13),
+    # architectural additions
+    "vit_large_patch32_224": _v(1024, 24, 16, patch_size=32),
+    "vit_small_patch32_384": _v(384, 12, 6, patch_size=32, img_size=384),
+    "vit_small_patch16_36x1_224": _v(384, 36, 6),
+    "vit_small_patch16_18x2_224": _v(384, 18, 6),  # parallel-pair depth folded
+    "vit_base_patch16_18x2_224": _v(768, 18, 12),
+    "vit_base_patch16_rpn_224": _v(768, 12, 12, class_token=False),
+    "vit_base_patch16_plus_240": _v(896, 12, 14, img_size=240),
+    "vit_base_patch32_plus_256": _v(896, 12, 14, patch_size=32, img_size=256),
 }
+
+# Weight-provenance variants (in21k / dino / sam / miil / clip-laion2b):
+# identical architectures; names kept for recipe parity, weights resolve via
+# the local cache (reference: torchok/models/backbones/vit.py url cfg dicts).
+_WEIGHT_VARIANTS = {
+    "vit_tiny_patch16_224_in21k": "vit_tiny_patch16_224",
+    "vit_small_patch16_224_in21k": "vit_small_patch16_224",
+    "vit_small_patch32_224_in21k": "vit_small_patch32_224",
+    "vit_small_patch16_224_dino": "vit_small_patch16_224",
+    "vit_small_patch8_224_dino": _v(384, 12, 6, patch_size=8),
+    "vit_base_patch16_224_in21k": "vit_base_patch16_224",
+    "vit_base_patch32_224_in21k": "vit_base_patch32_224",
+    "vit_base_patch8_224_in21k": "vit_base_patch8_224",
+    "vit_base_patch8_224_dino": "vit_base_patch8_224",
+    "vit_base_patch16_224_dino": "vit_base_patch16_224",
+    "vit_base_patch16_224_sam": "vit_base_patch16_224",
+    "vit_base_patch32_224_sam": "vit_base_patch32_224",
+    "vit_base_patch16_224_miil": "vit_base_patch16_224",
+    "vit_base_patch16_224_miil_in21k": "vit_base_patch16_224",
+    "vit_base_patch32_224_clip_laion2b": "vit_base_patch32_224",
+    "vit_large_patch16_224_in21k": "vit_large_patch16_224",
+    "vit_large_patch32_224_in21k": "vit_large_patch32_224",
+    "vit_large_patch14_224_clip_laion2b": "vit_large_patch14_224",
+    "vit_huge_patch14_224_in21k": "vit_huge_patch14_224",
+    "vit_huge_patch14_224_clip_laion2b": "vit_huge_patch14_224",
+    "vit_giant_patch14_224_clip_laion2b": "vit_giant_patch14_224",
+}
+for _alias, _base in _WEIGHT_VARIANTS.items():
+    _VARIANTS[_alias] = dict(_VARIANTS[_base]) if isinstance(_base, str) else _base
 
 for _name, _cfg in _VARIANTS.items():
     _entry(_name, **_cfg)

@@ -91,3 +91,28 @@ def avg_pool(x: jnp.ndarray, window: int = 2, stride: int = 2,
         padding=pads if isinstance(pads, str) else pads,
     )
     return summed / counts
+
+
+def blur_pool(x: jnp.ndarray, stride: int = 2, kernel: int = 3) -> jnp.ndarray:
+    """Anti-aliased downsampling (Zhang 2019 "Making Convolutions
+    Shift-Invariant Again"): fixed binomial low-pass depthwise filter before
+    subsampling. NHWC; kernel 3 -> [1,2,1] outer product."""
+    import numpy as _np
+    from jax import lax
+    c = x.shape[-1]
+    if kernel == 3:
+        k1 = _np.array([1.0, 2.0, 1.0])
+    elif kernel == 5:
+        k1 = _np.array([1.0, 4.0, 6.0, 4.0, 1.0])
+    else:
+        k1 = _np.ones((kernel,))
+    k2 = _np.outer(k1, k1)
+    k2 = (k2 / k2.sum()).astype(_np.float32)
+    filt = jnp.asarray(k2)[:, :, None, None]          # (H, W, 1, 1)
+    filt = jnp.tile(filt, (1, 1, 1, c)).astype(x.dtype)  # (H, W, 1, C) HWIO grouped
+    pad = (kernel - 1) // 2
+    return lax.conv_general_dilated(
+        x, filt, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)

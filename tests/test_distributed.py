@@ -71,3 +71,30 @@ def test_fsdp_strategy_runs(tmp_path, multi_devices):
     trainer.replicated = NamedSharding(trainer.mesh, P())
     trainer.fit(task)
     assert "train/loss" in trainer.callback_metrics
+
+
+def test_tp_training_matches_single_device(tmp_path, multi_devices):
+    """Tensor-parallel head sharding (model_parallel_size=2) must reproduce
+    the single-device loss trajectory: GSPMD only changes layout, not math."""
+    optimization = [{"optimizer": {"name": "SGD", "params": {"lr": 0.01}}}]
+    config = make_config(tmp_path, max_epochs=1, optimization=optimization)
+    task1, trainer1 = build(config)
+    trainer1.mesh = Mesh(np.array(multi_devices[:1]), ("data",))
+    trainer1.data_sharding = NamedSharding(trainer1.mesh, P("data"))
+    trainer1.replicated = NamedSharding(trainer1.mesh, P())
+    trainer1.fit(task1)
+    loss1 = trainer1.callback_metrics["train/loss"]
+
+    config2 = make_config(tmp_path, max_epochs=1, optimization=optimization,
+                          trainer_extra={"model_parallel_size": 2,
+                                         "devices": 2})
+    task2, trainer2 = build(config2)
+    assert trainer2.mesh.axis_names == ("data", "model")
+    trainer2.fit(task2)
+    loss2 = trainer2.callback_metrics["train/loss"]
+    assert abs(loss1 - loss2) < 1e-3
+
+    # the head kernel must actually be sharded over the model axis
+    kernel = trainer2.state.params["head"]["fc"]["kernel"]
+    spec = kernel.sharding.spec
+    assert spec[-1] == "model", f"head kernel not tensor-sharded: {spec}"

@@ -187,6 +187,8 @@ class TrainerParams:
     # TPU-build extension: number of train steps fused into one jitted
     # lax.scan execution (amortizes host dispatch on small models)
     steps_per_execution: int = 1
+    # TPU-build extension: tensor-parallel factor (head class-dim sharding)
+    model_parallel_size: int = 1
 
 
 @dataclass

@@ -36,7 +36,7 @@ from torchok_tpu.constructor.config import ConfigNode
 from torchok_tpu.constructor.config_structure import Phase
 from torchok_tpu.engine.callbacks import Callback
 from torchok_tpu.engine.state import TrainState
-from torchok_tpu.parallel.mesh import fsdp_sharding
+from torchok_tpu.parallel.mesh import build_mesh, fsdp_sharding, tp_sharding
 
 logger = logging.getLogger(__name__)
 
@@ -72,6 +72,10 @@ class Trainer:
         self.profiler = tp.get("profiler")
         self.strategy = tp.get("strategy", "auto")
         self.enable_progress_bar = tp.get("enable_progress_bar")
+        # reference trainer.detect_anomaly (torch autograd anomaly mode) maps
+        # to XLA nan-checking on every jitted computation (SURVEY.md §5)
+        if tp.get("detect_anomaly"):
+            jax.config.update("jax_debug_nans", True)
         if self.fast_dev_run:
             n = 1 if self.fast_dev_run is True else int(self.fast_dev_run)
             self.max_epochs = 1
@@ -105,7 +109,8 @@ class Trainer:
                 devices = devices[:int(want)]
             except ValueError:
                 pass
-        return Mesh(np.array(devices), axis_names=("data",))
+        mp = tp.get("model_parallel_size") or 1
+        return build_mesh(devices, model_parallel=mp)
 
     @property
     def num_devices(self) -> int:
@@ -328,7 +333,12 @@ class Trainer:
             bn_mask=_tree_ones_like(batch_stats),
             step=jnp.zeros((), jnp.int32),
         )
-        if self.strategy == "fsdp":
+        if "model" in self.mesh.axis_names:
+            # tensor parallelism: head class-dim sharded over 'model';
+            # optionally fsdp over 'data' on the rest
+            state = jax.device_put(state, tp_sharding(
+                self.mesh, state, fsdp=self.strategy == "fsdp"))
+        elif self.strategy == "fsdp":
             state = jax.device_put(state, self._fsdp_sharding(state))
         else:
             state = jax.device_put(state, self.replicated)

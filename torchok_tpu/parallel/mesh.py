@@ -1,10 +1,21 @@
 """Mesh and sharding utilities.
 
 The reference's distributed story is Lightning DDP (SURVEY.md §2.10); the
-TPU-native equivalent is GSPMD over a device mesh. One axis ('data') carries
-data parallelism; the fsdp rule additionally shards each parameter's largest
-divisible axis over the same mesh (ZeRO-3-style memory scaling the reference
-never had).
+TPU-native equivalent is GSPMD over a device mesh:
+
+* axis ``data`` — data parallelism (the DDP-equivalent, first-class);
+* ``fsdp`` rule — additionally shards each parameter's largest divisible
+  axis over ``data`` (ZeRO-3-style memory scaling the reference never had);
+* axis ``model`` — tensor parallelism for wide output layers: metric-learning
+  heads (ArcFace over 10k-100k classes, reference
+  heads/classification/arcface_head.py) dominate parameter count and logits
+  bandwidth, so their class dimension is sharded over ``model`` and XLA
+  inserts the reduce for the softmax over sharded logits.
+
+Pipeline / sequence / expert parallelism intentionally do not exist: the
+reference is a CV trainer with ≤~1B-param encoders, no sequence dimension
+and no MoE (SURVEY.md §2.10 "NOT present"); dp(+fsdp)×tp covers its scale
+envelope on a TPU pod slice.
 """
 from __future__ import annotations
 
@@ -16,11 +27,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def build_mesh(devices: Optional[Sequence] = None,
-               axis_names: Sequence[str] = ("data",)) -> Mesh:
+               axis_names: Sequence[str] = ("data",),
+               model_parallel: int = 1) -> Mesh:
+    """1D ('data') or 2D ('data', 'model') mesh. ``model_parallel`` splits
+    the device list; data parallelism takes the remaining factor. The model
+    axis is placed innermost so tensor-parallel collectives ride the
+    fastest ICI links."""
     devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if model_parallel > 1:
+        if n % model_parallel != 0:
+            raise ValueError(f"{n} devices not divisible by "
+                             f"model_parallel={model_parallel}")
+        arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+        return Mesh(arr, axis_names=("data", "model"))
     arr = np.array(devices)
     if len(axis_names) > 1:
-        raise NotImplementedError("multi-axis meshes land with model parallelism")
+        raise ValueError("pass model_parallel for multi-axis meshes")
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
@@ -34,7 +57,7 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = "data"):
     """Per-leaf sharding: partition the largest divisible dimension."""
-    n = mesh.devices.size
+    n = mesh.shape[axis]
 
     def spec_for(leaf):
         if not hasattr(leaf, "shape") or getattr(leaf, "ndim", 0) == 0:
@@ -48,3 +71,40 @@ def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = "data"):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec_for, tree)
+
+
+def tp_sharding(mesh: Mesh, tree: Any, head_prefixes: Sequence[str] = ("head",),
+                fsdp: bool = False):
+    """Tensor-parallel sharding over the 'model' axis.
+
+    Kernels under any of ``head_prefixes`` (pytree top-level keys) get their
+    output (last) dimension sharded over 'model' when divisible — for
+    classification/ArcFace heads this splits the class dimension, so each
+    device holds 1/tp of the class weights and computes 1/tp of the logits;
+    XLA inserts the cross-device reduce for the softmax normalizer.
+    Everything else is replicated over 'model' (and optionally fsdp-sharded
+    over 'data').
+    """
+    tp = mesh.shape["model"]
+    dp = mesh.shape["data"]
+
+    def spec_for(path, leaf):
+        if not hasattr(leaf, "shape") or getattr(leaf, "ndim", 0) == 0:
+            return NamedSharding(mesh, P())
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_head = any(k in head_prefixes for k in keys)
+        if in_head and leaf.ndim >= 1 and leaf.shape[-1] % tp == 0 \
+                and leaf.shape[-1] >= tp:
+            spec = [None] * leaf.ndim
+            spec[-1] = "model"
+            return NamedSharding(mesh, P(*spec))
+        if fsdp:
+            sizes = list(leaf.shape)
+            best = int(np.argmax(sizes))
+            if sizes[best] % dp == 0 and sizes[best] >= dp:
+                spec = [None] * leaf.ndim
+                spec[best] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)

@@ -1,0 +1,62 @@
+"""StableHLO export / replay round trip (reference subsystem:
+torchok/tasks/onnx.py + torchok/callbacks/checkpoint_onnx.py — export the
+task module on best checkpoints, replay through the same datasets/metrics)."""
+import jax
+import numpy as np
+import pytest
+
+import torchok_tpu  # noqa: F401
+from torchok_tpu.constructor import TASKS
+from torchok_tpu.constructor.config import ConfigNode
+from torchok_tpu.constructor.config_structure import merge_structured
+
+from tests.test_train_loop import make_config, build
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("hlo")
+    config = make_config(tmp_path, max_epochs=1)
+    task, trainer = build(config)
+    trainer.fit(task)
+    from torchok_tpu.export.stablehlo import export_task_model
+    path = str(tmp_path / "model.stablehlo")
+    export_task_model(task, trainer.state.variables, path)
+    return path, task, trainer
+
+
+def test_export_creates_artifact(exported):
+    import os
+    path, _, _ = exported
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_replay_matches_native_forward(exported):
+    path, task, trainer = exported
+    from torchok_tpu.export.stablehlo import StableHLOModel
+    runner = StableHLOModel(path)
+    rng = np.random.default_rng(0)
+    image = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(runner(image))
+    want = np.asarray(task.model.apply(
+        trainer.state.variables, image, method=task.model.forward))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_onnx_task_alias_accepts_reference_surface(exported, tmp_path):
+    path, _, _ = exported
+    cfg = make_config(tmp_path, max_epochs=1)
+    cfg.task.name = "ONNXTask"
+    task = TASKS.get("ONNXTask")(
+        cfg, path_to_onnx=path, providers=["CUDAExecutionProvider"],
+        keys_mapping_onnx2dataset={"input.1": "image"})
+    rng = np.random.default_rng(1)
+    out = task.model({"image": rng.normal(size=(2, 32, 32, 3)).astype(np.float32)})
+    assert out["prediction"].shape == (2, 10)
+
+
+def test_onnx_task_requires_path(tmp_path):
+    cfg = make_config(tmp_path, max_epochs=1)
+    with pytest.raises(ValueError, match="path_to_onnx"):
+        TASKS.get("ONNXTask")(cfg)

@@ -226,3 +226,14 @@ def test_predict_mode(tmp_path):
     results = trainer.predict(task)
     assert results and "prediction" in results[0]
     assert results[0]["prediction"].shape[-1] == 10
+
+
+def test_sanity_val_steps(tmp_path):
+    """num_sanity_val_steps runs validation before training and discards the
+    accumulated metric state (Lightning parity)."""
+    config = make_config(tmp_path, max_epochs=1,
+                         trainer_extra={"num_sanity_val_steps": 1})
+    task, trainer = build(config)
+    trainer.fit(task)
+    # the post-epoch validation metrics must reflect only the real val pass
+    assert "valid/Accuracy" in trainer.callback_metrics

@@ -403,6 +403,13 @@ class Trainer:
         else:
             n_train = self._limit(len(train_loader), self.limit_train_batches)
 
+        # sanity validation (Lightning parity): run a few val batches before
+        # training starts so metric/loss plumbing fails fast
+        if self.num_sanity_val_steps and val_loaders:
+            self._run_eval(task, eval_step, val_loaders, Phase.VALID,
+                           limit=self.num_sanity_val_steps)
+            task.metrics_manager.reset(Phase.VALID)
+
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
             epoch_logs: Dict[str, float] = {}

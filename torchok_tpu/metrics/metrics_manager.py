@@ -124,6 +124,11 @@ class MetricsManager:
             return num.ndim == 0 and np.issubdtype(np.asarray(num).dtype, np.number)
         return isinstance(num, numbers.Number)
 
+    def reset(self, phase: Phase) -> None:
+        """Discard accumulated state for a phase (sanity-val runs)."""
+        for m in self.phase2metrics[phase.name]:
+            m.reset()
+
     def on_epoch_end(self, phase: Phase) -> Dict[str, float]:
         log: Dict[str, float] = {}
         for m in self.phase2metrics[phase.name]:

@@ -55,4 +55,19 @@ class StableHLOTask(BaseTask):
 
 @TASKS.register_class(name="ONNXTask")
 class ONNXTask(StableHLOTask):
-    """Name-parity alias: the TPU build replays StableHLO artifacts."""
+    """Name-parity alias: accepts the reference ONNXTask surface
+    (reference: torchok/tasks/onnx.py:16-52 — ``path_to_onnx``,
+    ``providers``, ``keys_mapping_onnx2dataset``) and replays a StableHLO
+    artifact instead. ``providers`` is ignored (the artifact runs on the
+    current JAX backend); the key mapping's dataset-side names are honored
+    for the image input."""
+
+    def __init__(self, hparams: ConfigNode, path_to_onnx: Optional[str] = None,
+                 model_path: Optional[str] = None, providers=None,
+                 keys_mapping_onnx2dataset: Optional[Dict[str, str]] = None,
+                 **kwargs):
+        path = model_path or path_to_onnx
+        if path is None:
+            raise ValueError("ONNXTask requires path_to_onnx (or model_path)")
+        self.keys_mapping = dict(keys_mapping_onnx2dataset or {})
+        super().__init__(hparams, model_path=path, **kwargs)

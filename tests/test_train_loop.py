@@ -237,3 +237,69 @@ def test_sanity_val_steps(tmp_path):
     trainer.fit(task)
     # the post-epoch validation metrics must reflect only the real val pass
     assert "valid/Accuracy" in trainer.callback_metrics
+
+
+def test_swa_averages_and_runs(tmp_path):
+    optimization = [{"optimizer": {"name": "SGD", "params": {"lr": 0.05}}}]
+    config = make_config(tmp_path, max_epochs=3, optimization=optimization,
+                         extra_callbacks=[
+        {"name": "StochasticWeightAveraging",
+         "params": {"swa_epoch_start": 0, "bn_update_steps": 2}},
+    ])
+    task, trainer = build(config)
+    trainer.fit(task)
+    assert "train/loss" in trainer.callback_metrics
+    # averaged weights installed: a fresh eval still works
+    logs = trainer._run_eval(task, trainer._make_eval_step(task, False),
+                             task.val_dataloader(), __import__(
+                                 "torchok_tpu.constructor.config_structure",
+                                 fromlist=["Phase"]).Phase.VALID)
+    assert "valid/Accuracy" in logs
+
+
+def test_model_pruning_zeroes_and_freezes(tmp_path):
+    import jax
+    import numpy as np
+    config = make_config(tmp_path, max_epochs=2, extra_callbacks=[
+        {"name": "ModelPruning", "params": {"amount": 0.5, "prune_on_epoch": 0}},
+    ])
+    task, trainer = build(config)
+    trainer.fit(task)
+    kernel = np.asarray(trainer.state.params["head"]["fc"]["kernel"])
+    sparsity = float((kernel == 0).mean())
+    # pruned at epoch 0 and 1; second-epoch training must not revive zeros
+    assert sparsity >= 0.45, sparsity
+
+
+def test_steps_per_execution_ragged_tail_step_count(tmp_path):
+    """100 samples, bs=32, spe=2, drop_last=False: the loader yields a 64
+    super-batch and a 36 tail; the tail must run as one full micro step plus
+    a 4-sample remainder -> 4 optimizer steps total, same as non-fused."""
+    optimization = [{"optimizer": {"name": "SGD", "params": {"lr": 0.01}}}]
+
+    def cfg(spe):
+        c = make_config(tmp_path, max_epochs=1, optimization=optimization,
+                        trainer_extra={"steps_per_execution": spe} if spe > 1 else {})
+        c.data["TRAIN"][0].dataset.params["num_samples"] = 100
+        c.data["TRAIN"][0].dataloader["drop_last"] = False
+        return c
+
+    task1, trainer1 = build(cfg(1))
+    trainer1.fit(task1)
+    task2, trainer2 = build(cfg(2))
+    trainer2.fit(task2)
+    assert trainer2.global_step == trainer1.global_step == 4
+
+
+def test_repeated_fit_does_not_compound_batch_size(tmp_path):
+    config = make_config(tmp_path, max_epochs=1,
+                         trainer_extra={"steps_per_execution": 2})
+    task, trainer = build(config)
+    trainer.fit(task)
+    loader = task.train_dataloader()[0]
+    assert loader.batch_size == 32  # restored after fit
+    # a second fit must see the same optimizer-step count
+    steps_first = trainer.global_step
+    trainer.current_epoch = 0
+    trainer.fit(task)
+    assert trainer.global_step == steps_first * 2

@@ -165,3 +165,146 @@ class GradientAccumulationScheduler(Callback):
             first = sorted(self.scheduling.items())[0]
             logger.warning("GradientAccumulationScheduler: dynamic scheduling not "
                            "supported; using accumulate_grad_batches=%s", first[1])
+
+
+@CALLBACKS.register_class
+class StochasticWeightAveraging(Callback):
+    """SWA (reference registers Lightning's StochasticWeightAveraging,
+    callbacks/__init__.py:21). Functional formulation: keep a running average
+    of the parameter pytree from ``swa_epoch_start`` on; at fit end swap the
+    average in and refresh BatchNorm statistics with a forward sweep over a
+    few training batches (the Lightning BN-update pass)."""
+
+    def __init__(self, swa_epoch_start=0.8, swa_lrs=None,
+                 annealing_epochs: int = 10, bn_update_steps: int = 10, **_):
+        self.swa_epoch_start = swa_epoch_start
+        self.bn_update_steps = bn_update_steps
+        self._avg = None
+        self._count = 0
+        self._update_avg = None  # one persistent jitted averager
+
+    def _start_epoch(self, trainer) -> int:
+        if isinstance(self.swa_epoch_start, float) and self.swa_epoch_start < 1:
+            return int(trainer.max_epochs * self.swa_epoch_start)
+        return int(self.swa_epoch_start)
+
+    def on_train_epoch_end(self, trainer, task, logs) -> None:
+        import jax
+        if trainer.current_epoch < self._start_epoch(trainer):
+            return
+        params = trainer.state.params
+        if self._avg is None:
+            # deep-copy: train_step donates its input state, so aliasing
+            # trainer.state.params here would reference deleted buffers
+            import jax.numpy as jnp
+            self._avg = jax.tree_util.tree_map(jnp.array, params)
+            self._count = 1
+            return
+        if self._update_avg is None:
+            # n is a traced argument: one compile covers every epoch
+            @jax.jit
+            def update_avg(avg, new, n):
+                return jax.tree_util.tree_map(
+                    lambda a, p: (a * n + p) / (n + 1.0), avg, new)
+            self._update_avg = update_avg
+        import jax.numpy as jnp
+        self._avg = self._update_avg(self._avg, params,
+                                     jnp.float32(self._count))
+        self._count += 1
+
+    def on_fit_end(self, trainer, task) -> None:
+        if self._avg is None:
+            return
+        import jax
+        trainer.state = trainer.state.replace(params=self._avg)
+        # BN-statistics refresh with the averaged weights
+        if trainer.state.batch_stats and self.bn_update_steps > 0:
+            loaders = task.train_dataloader()
+            if loaders:
+                # fresh loaders carry no device pipeline: install it so BN
+                # sees normalized/resized batches, exactly as in training
+                trainer._install_device_fns(loaders[:1], train=True)
+                model = task.model
+                variables = {"params": trainer.state.params,
+                             "batch_stats": trainer.state.batch_stats}
+
+                @jax.jit
+                def bn_step(bs, batch):
+                    _, new_vars = model.apply(
+                        {"params": trainer.state.params, "batch_stats": bs},
+                        batch, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(0)},
+                        mutable=["batch_stats"])
+                    return new_vars["batch_stats"]
+
+                bs = trainer.state.batch_stats
+                for i, batch in enumerate(loaders[0]):
+                    if i >= self.bn_update_steps:
+                        break
+                    bs = bn_step(bs, batch)
+                trainer.state = trainer.state.replace(batch_stats=bs)
+        logger.info("SWA: swapped in averaged weights (%d snapshots)", self._count)
+
+
+@CALLBACKS.register_class
+class ModelPruning(Callback):
+    """Magnitude pruning (reference registers Lightning's ModelPruning,
+    callbacks/__init__.py:16). Functional formulation: at each configured
+    epoch, zero the smallest-|w| fraction of every 2D+ kernel and freeze
+    those positions by folding the mask into ``state.grad_mask`` — pruned
+    weights stay zero for the rest of training."""
+
+    def __init__(self, amount: float = 0.5, apply_pruning=True,
+                 make_pruning_permanent: bool = True,
+                 prune_on_epoch: int = 0, **_):
+        self.amount = amount
+        self.apply_pruning = apply_pruning
+        self.prune_on_epoch = prune_on_epoch
+        self._mask = None  # fixed after the first prune
+
+    def on_train_epoch_end(self, trainer, task, logs) -> None:
+        import jax
+        import jax.numpy as jnp
+        if not self.apply_pruning or trainer.current_epoch < self.prune_on_epoch:
+            return
+        if self._mask is not None:
+            # mask already chosen: re-apply it. Stateful optimizers (Adam
+            # momentum, decoupled weight decay) can drift pruned weights
+            # within an epoch; the fixed mask re-zeroes them here so the
+            # shipped model keeps the selected sparsity pattern.
+            reapply = jax.jit(lambda p, m: jax.tree_util.tree_map(
+                lambda pp, mm: pp * mm, p, m))
+            trainer.state = trainer.state.replace(
+                params=reapply(trainer.state.params, self._mask))
+            return
+        amount = self.amount
+
+        @jax.jit
+        def prune(params, grad_mask):
+            def leaf(p, m):
+                if p.ndim < 2:  # biases / norms stay dense
+                    return p, m
+                mag = jnp.abs(p).reshape(-1)
+                k = int(mag.shape[0] * amount)
+                if k == 0:
+                    return p, m
+                threshold = jnp.sort(mag)[k - 1]
+                keep = (jnp.abs(p) > threshold).astype(p.dtype)
+                return p * keep, m * keep
+
+            flat_p, treedef = jax.tree_util.tree_flatten(params)
+            flat_m = treedef.flatten_up_to(grad_mask)
+            out = [leaf(p, jnp.broadcast_to(m, p.shape)) for p, m in zip(flat_p, flat_m)]
+            new_p = jax.tree_util.tree_unflatten(treedef, [a for a, _ in out])
+            new_m = jax.tree_util.tree_unflatten(treedef, [b for _, b in out])
+            return new_p, new_m
+
+        new_params, new_mask = prune(trainer.state.params, trainer.state.grad_mask)
+        # materialized copies: new_mask becomes state.grad_mask, which is
+        # donated into the next train_step — aliasing it would leave _mask
+        # pointing at deleted buffers
+        self._mask = jax.tree_util.tree_map(
+            lambda p, m: jnp.array(jnp.broadcast_to(m, p.shape)),
+            new_params, new_mask)
+        trainer.state = trainer.state.replace(params=new_params,
+                                              grad_mask=new_mask)

@@ -109,7 +109,7 @@ class ImageDataset(ABC):
             image = tk_native.decode_file(str(image_path))
             if image is not None:
                 return self._convert_image_format(image)
-        if self.reader_library in ("opencv", "native"):
+            # cv2 fallback (non-JPEG/PNG formats or toolchain absent)
             image = cv2.imread(str(image_path), cv2.IMREAD_UNCHANGED)
             if image is None:
                 raise ValueError(f"{image_path} image does not exist")

@@ -34,6 +34,7 @@ class Resize(BaseTransform):
     always_apply = True
     device_capable = True
     device_needs_uniform = True  # batched resize needs one input shape
+    device_bbox_safe = False  # apply_batch does not rescale bboxes
 
     def __init__(self, height: int, width: int, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):

@@ -385,6 +385,15 @@ class Trainer:
             # loader serves K*B super-batches: one host fetch + one transfer
             # + one device-transform run per execution
             train_loader.batch_size = micro_batch * spe
+        try:
+            self._fit_loop(task, train_loader, val_loaders, train_step,
+                           multi_step, spe, micro_batch)
+        finally:
+            # restore: repeated fit() calls must not compound the scaling
+            train_loader.batch_size = micro_batch
+
+    def _fit_loop(self, task, train_loader, val_loaders, train_step,
+                  multi_step, spe, micro_batch) -> None:
         eval_step = self._make_eval_step(task, task.compute_loss_on_valid)
 
         for cb in self.callbacks:
@@ -439,9 +448,26 @@ class Trainer:
                 if multi_step is not None:
                     size = jax.tree_util.tree_leaves(batch)[0].shape[0]
                     k = size // micro_batch
-                    if k >= 1 and size % micro_batch == 0:
+                    rem = size % micro_batch
+                    if k >= 1 and rem == 0:
                         self.state, outputs, losses = multi_step(self.state, batch, k)
                         executed = k
+                    elif k >= 1:
+                        # ragged tail spanning >1 micro batch: run the full
+                        # micro batches fused, then the remainder as one step
+                        # (matches the non-fused run's step count/trajectory)
+                        full = jax.tree_util.tree_map(
+                            lambda x: x[:k * micro_batch], batch)
+                        tail = jax.tree_util.tree_map(
+                            lambda x: x[k * micro_batch:], batch)
+                        self.state, full_outputs, losses = multi_step(self.state, full, k)
+                        # the fused part's outputs feed metrics here; the tail's
+                        # flow through the shared update below
+                        task.metrics_manager.update(Phase.TRAIN, 0, **full_outputs)
+                        self.state, outputs, tail_losses = train_step(self.state, tail)
+                        losses = {kk: (losses[kk] * k + tail_losses[kk]) / (k + 1)
+                                  for kk in losses}
+                        executed = k + 1
                     else:  # ragged tail smaller than one micro batch
                         self.state, outputs, losses = train_step(self.state, batch)
                         executed = 1

@@ -67,6 +67,7 @@ class Downsample(nn.Module):
     dilation: int = 1
     avg_down: bool = False
     kernel_size: int = 1
+    norm: str = "bn"
     dtype: Any = None
 
     @nn.compact
@@ -78,7 +79,7 @@ class Downsample(nn.Module):
             x = _conv(self.out_channels, self.kernel_size, self.stride,
                       dilation=self.dilation if self.kernel_size > 1 else 1,
                       name="conv", dtype=self.dtype)(x)
-        x = _bn(train, "bn", dtype=self.dtype)(x)
+        x = _norm(self.norm, train, "bn", dtype=self.dtype)(x)
         return x
 
 
@@ -126,7 +127,8 @@ class BasicBlock(nn.Module):
         if self.use_downsample:
             shortcut = Downsample(out_planes, self.stride, self.dilation,
                                   self.avg_down, self.down_kernel_size,
-                                  dtype=self.dtype, name="downsample")(x, train)
+                                  norm=self.norm, dtype=self.dtype,
+                                  name="downsample")(x, train)
         return nn.relu(out + shortcut)
 
 
@@ -180,7 +182,8 @@ class Bottleneck(nn.Module):
         if self.use_downsample:
             shortcut = Downsample(out_planes, self.stride, self.dilation,
                                   self.avg_down, self.down_kernel_size,
-                                  dtype=self.dtype, name="downsample")(x, train)
+                                  norm=self.norm, dtype=self.dtype,
+                                  name="downsample")(x, train)
         return nn.relu(out + shortcut)
 
 

@@ -52,6 +52,10 @@ def _load():
         lib.tkio_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                     ctypes.c_int, ctypes.c_void_p,
                                     ctypes.c_int, ctypes.c_int]
+        for fn in (lib.tkio_jpeg_decode, lib.tkio_png_decode):
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                           ctypes.c_int, ctypes.c_int]
         lib.tkio_resize_bilinear_u8.restype = None
         lib.tkio_resize_bilinear_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -72,6 +76,16 @@ def probe(data: bytes) -> int:
     return lib.tkio_probe(data, len(data))
 
 
+def _info(lib, data: bytes, kind: int) -> Optional[Tuple[int, int, int]]:
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    fn = lib.tkio_jpeg_info if kind == 1 else lib.tkio_png_info
+    if fn(data, len(data), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c)) != 0:
+        return None
+    return (h.value, w.value, c.value)
+
+
 def image_info(data: bytes) -> Optional[Tuple[int, int, int]]:
     """(height, width, decoded_channels) without decoding pixels."""
     lib = _load()
@@ -80,13 +94,7 @@ def image_info(data: bytes) -> Optional[Tuple[int, int, int]]:
     kind = lib.tkio_probe(data, len(data))
     if kind == 0:
         return None
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    c = ctypes.c_int()
-    fn = lib.tkio_jpeg_info if kind == 1 else lib.tkio_png_info
-    if fn(data, len(data), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c)) != 0:
-        return None
-    return (h.value, w.value, c.value)
+    return _info(lib, data, kind)
 
 
 def decode_image(data: bytes,
@@ -100,11 +108,19 @@ def decode_image(data: bytes,
     kind = lib.tkio_probe(data, len(data))
     if kind == 0:
         return None
-    info = image_info(data)
+    info = _info(lib, data, kind)  # one Python-side header parse
     if info is None:
         return None
     h, w, c = info
+    if resize is not None and tuple(resize) == (h, w):
+        resize = None
     out_h, out_w = resize if resize is not None else (h, w)
+    if resize is None:
+        # natural size: skip tkio_decode's internal re-parse, decode directly
+        out = np.empty((h, w, c), np.uint8)
+        fn = lib.tkio_jpeg_decode if kind == 1 else lib.tkio_png_decode
+        rc = fn(data, len(data), out.ctypes.data_as(ctypes.c_void_p), h, w)
+        return out if rc == 0 else None
     out = np.empty((out_h, out_w, c), np.uint8)
     rc = lib.tkio_decode(data, len(data), kind,
                          out.ctypes.data_as(ctypes.c_void_p), out_h, out_w)

@@ -21,9 +21,10 @@ from torchok_tpu.tasks.base import BaseTask
 class _ExportedModule(nn.Module):
     """Adapter presenting the exported callable through the task-module API."""
     runner: Any  # StableHLOModel (host object; not a pytree of params)
+    image_key: str = "image"  # dataset-side input name (keys_mapping)
 
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, Any]:
-        prediction = self.runner(batch["image"])
+        prediction = self.runner(batch[self.image_key])
         output = {"prediction": prediction, "embeddings": prediction}
         if batch.get("target") is not None:
             output["target"] = batch["target"]
@@ -36,11 +37,12 @@ class _ExportedModule(nn.Module):
 @TASKS.register_class
 class StableHLOTask(BaseTask):
     def __init__(self, hparams: ConfigNode, model_path: str,
-                 inputs: Optional[list] = None, **kwargs):
+                 inputs: Optional[list] = None, image_key: str = "image",
+                 **kwargs):
         super().__init__(hparams, **kwargs)
         from torchok_tpu.export.stablehlo import StableHLOModel
         self.runner = StableHLOModel(model_path)
-        self.model = _ExportedModule(runner=self.runner)
+        self.model = _ExportedModule(runner=self.runner, image_key=image_key)
 
     def init_variables(self, rng, batch=None):
         return {"params": {}}
@@ -69,5 +71,11 @@ class ONNXTask(StableHLOTask):
         path = model_path or path_to_onnx
         if path is None:
             raise ValueError("ONNXTask requires path_to_onnx (or model_path)")
-        self.keys_mapping = dict(keys_mapping_onnx2dataset or {})
-        super().__init__(hparams, model_path=path, **kwargs)
+        mapping = keys_mapping_onnx2dataset
+        if hasattr(mapping, "to_dict"):
+            mapping = mapping.to_dict()
+        self.keys_mapping = dict(mapping or {})
+        # dataset-side name of the (single) model input, reference onnx.py:52
+        image_key = next(iter(self.keys_mapping.values()), "image")
+        super().__init__(hparams, model_path=path, image_key=image_key,
+                         **kwargs)

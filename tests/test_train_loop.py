@@ -303,3 +303,12 @@ def test_repeated_fit_does_not_compound_batch_size(tmp_path):
     trainer.current_epoch = 0
     trainer.fit(task)
     assert trainer.global_step == steps_first * 2
+
+
+def test_find_lr_returns_suggestion(tmp_path):
+    from torchok_tpu.constructor.auto_lr_find import find_lr
+    config = make_config(tmp_path, max_epochs=1)
+    task, trainer = build(config)
+    suggestion = find_lr(trainer, task, min_lr=1e-6, max_lr=1.0,
+                         num_training=12)
+    assert suggestion is None or (1e-7 < suggestion < 2.0)

@@ -86,8 +86,18 @@ class BaseTask:
     def init_variables(self, rng: jax.Array, batch: Optional[Dict[str, Any]] = None):
         batch = batch or self.example_batch()
         rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
-        variables = self.model.init(rngs, batch, train=False)
-        return variables
+        # init in train mode: train-only state (e.g. the ArcFace dynamic-margin
+        # step buffer, reference arcface_head.py:69) must exist in the initial
+        # variables so the engine threads it through the train step
+        n = next(iter(batch.values())).shape[0]
+        with_target = {**batch, "target": jnp.zeros((n,), jnp.int32)} \
+            if "target" not in batch else batch
+        for candidate, train in ((with_target, True), (batch, True), (batch, False)):
+            try:
+                return self.model.init(rngs, candidate, train=train)
+            except (ValueError, KeyError, TypeError):
+                continue
+        return self.model.init(rngs, batch, train=False)
 
     def apply_model(self, variables, batch, train: bool, rngs=None,
                     mutable: Sequence[str] = ()) -> Tuple[Dict[str, Any], Dict]:

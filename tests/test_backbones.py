@@ -112,3 +112,44 @@ def test_backbone_registry_covers_reference_names():
     ours = set(BACKBONES.list_models())
     missing = sorted(ref - ours)
     assert not missing, f"missing backbone variants: {missing[:20]} (+{len(missing)})"
+
+
+FAMILY_REPRESENTATIVES = [
+    # (name, input_hw) — one representative per family, mirroring the
+    # reference's per-family shape tests (test_backbone.py:10-67)
+    ("efficientnet_b0", 64),
+    ("efficientnetv2_s", 64),
+    ("mobilenetv3_large_100", 64),
+    ("lcnet_100", 64),
+    ("hrnet_w18_small", 64),
+    ("vit_tiny_patch16_224", 224),
+    ("beit_base_patch16_224", 224),
+    ("davit_t", 64),
+    ("gcvit_xxtiny", 64),
+    ("swinv2_tiny_window8_256", 256),
+]
+
+
+@pytest.mark.parametrize("name,hw", FAMILY_REPRESENTATIVES)
+def test_family_forward_features_pyramid(name, hw):
+    model = BACKBONES.get(name)()
+    x = jnp.zeros((1, hw, hw, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+
+    def apply(method=None):
+        kwargs = {"method": method} if method else {}
+        out = model.apply(variables, x, False,
+                          mutable=["batch_stats", "buffers"], **kwargs)
+        return out[0]
+
+    out = apply()
+    if isinstance(out, (list, tuple)):  # HRNet: multi-branch output
+        assert [o.shape[-1] for o in out] == list(model.out_channels)
+    else:
+        assert out.shape[-1] == model.out_channels
+    feats = apply(method=model.forward_features)
+    assert feats[0].shape == (1, hw, hw, 3)  # [input] + stages
+    got = tuple(f.shape[-1] for f in feats[1:]
+                if not isinstance(f, (list, tuple)))
+    want = tuple(model.out_encoder_channels)[:len(got)]
+    assert got == want

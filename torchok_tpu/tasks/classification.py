@@ -37,6 +37,12 @@ class ClassificationModel(nn.Module):
             output["prediction"] = self.head(x, target=target, train=train)
         if target is not None:
             output["target"] = target
+        # retrieval-dataset auxiliaries flow through to the index-based
+        # meters (representation mode); the reference only supported the
+        # classification mode (group_labels=target) end to end
+        for key in ("scores", "query_idxs", "group_labels"):
+            if batch.get(key) is not None:
+                output[key] = batch[key]
         return output
 
     def forward(self, image: jnp.ndarray) -> jnp.ndarray:

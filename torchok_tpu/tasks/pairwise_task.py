@@ -40,8 +40,11 @@ class PairwiseModel(nn.Module):
         if target is not None:
             output["R"] = calc_relevance_matrix(target, self.num_classes)
             output["target"] = target
-            # retrieval metrics consume plain embeddings too
-            output["embeddings"] = embedding
+        # retrieval metrics consume plain embeddings too
+        output["embeddings"] = embedding
+        for key in ("scores", "query_idxs", "group_labels"):
+            if batch.get(key) is not None:
+                output[key] = batch[key]
         return output
 
     def forward(self, image: jnp.ndarray) -> jnp.ndarray:

@@ -149,7 +149,8 @@ def test_family_forward_features_pyramid(name, hw):
         assert out.shape[-1] == model.out_channels
     feats = apply(method=model.forward_features)
     assert feats[0].shape == (1, hw, hw, 3)  # [input] + stages
-    got = tuple(f.shape[-1] for f in feats[1:]
-                if not isinstance(f, (list, tuple)))
-    want = tuple(model.out_encoder_channels)[:len(got)]
-    assert got == want
+    got = tuple(f[-1].shape[-1] if isinstance(f, (list, tuple)) else f.shape[-1]
+                for f in feats[1:])
+    want = tuple(c[-1] if isinstance(c, (list, tuple)) else c
+                 for c in model.out_encoder_channels)
+    assert got == want, (got, want)

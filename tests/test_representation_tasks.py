@@ -191,3 +191,63 @@ def test_arcface_margin_behaviour():
     # margin reduces the target-class logit relative to eval
     for row, cls in enumerate([1, 3]):
         assert float(train_out[row, cls]) < float(eval_out[row, cls]) + 1e-6
+
+
+def test_multihead_arcface_head_trains(multihead_root, tmp_path):
+    """Stateful head behind a non-standard target key: MultiHead task with an
+    ArcFace head must initialize its buffers collection (example_targets
+    override) and train."""
+    config = _base(
+        tmp_path,
+        {"name": "MultiHeadClassificationTask", "params": {
+            "backbone_name": "resnet10t",
+            "backbone_params": {"pretrained": False, "in_channels": 3},
+            "pooling_name": "PoolingLinear",
+            "pooling_params": {"out_channels": 16},
+            "heads": [
+                {"name": "a", "type": "ArcFaceHead", "target": "a",
+                 "params": {"num_classes": 4}},
+            ],
+            "inputs": [{"shape": [3, 32, 32], "dtype": "float32"}]}},
+        [{"name": "CrossEntropyLoss", "tag": "a",
+          "mapping": {"input": "prediction_a", "target": "target_a"}}],
+        {"TRAIN": [{
+            "dataloader": {"batch_size": 8, "num_workers": 1, "drop_last": True},
+            "dataset": {"name": "MultiHeadImageDataset",
+                        "params": {"data_folder": str(multihead_root),
+                                   "annotation_path": "ann.csv",
+                                   "targets": [
+                                       {"name": "a", "column": "label_a",
+                                        "target_type": "multiclass"}]},
+                        "transform": TRANSFORM}}]})
+    task, trainer = _fit(config)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])
+
+
+def test_swa_with_arcface_buffers(image_root, tmp_path):
+    """SWA's BN-refresh must thread the buffers collection (ArcFace step
+    counter) through its train-mode forward."""
+    cfg_block = {"name": "ClassificationTask", "params": {
+        "backbone_name": "resnet10t",
+        "backbone_params": {"pretrained": False, "in_channels": 3},
+        "pooling_name": "PoolingLinear",
+        "pooling_params": {"out_channels": 16},
+        "head_name": "ArcFaceHead",
+        "head_params": {"num_classes": 4},
+        "inputs": [{"shape": [3, 32, 32], "dtype": "float32"}]}}
+    config = _base(
+        tmp_path, cfg_block,
+        [{"name": "CrossEntropyLoss",
+          "mapping": {"input": "prediction", "target": "target"}}],
+        {"TRAIN": [{
+            "dataloader": {"batch_size": 8, "num_workers": 1, "drop_last": True},
+            "dataset": {"name": "ImageClassificationDataset",
+                        "params": {"data_folder": str(image_root),
+                                   "annotation_path": "ann.csv",
+                                   "num_classes": 4},
+                        "transform": TRANSFORM}}]})
+    config.callbacks = [ConfigNode({
+        "name": "StochasticWeightAveraging",
+        "params": {"swa_epoch_start": 0, "bn_update_steps": 1}})]
+    task, trainer = _fit(config)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])

@@ -228,13 +228,20 @@ class StochasticWeightAveraging(Callback):
                 variables = {"params": trainer.state.params,
                              "batch_stats": trainer.state.batch_stats}
 
+                buffers = trainer.state.buffers
+
                 @jax.jit
                 def bn_step(bs, batch):
+                    variables = {"params": trainer.state.params,
+                                 "batch_stats": bs}
+                    mutable = ["batch_stats"]
+                    if buffers:  # stateful heads (ArcFace step counter)
+                        variables["buffers"] = buffers
+                        mutable.append("buffers")
                     _, new_vars = model.apply(
-                        {"params": trainer.state.params, "batch_stats": bs},
-                        batch, train=True,
+                        variables, batch, train=True,
                         rngs={"dropout": jax.random.PRNGKey(0)},
-                        mutable=["batch_stats"])
+                        mutable=mutable)
                     return new_vars["batch_stats"]
 
                 bs = trainer.state.batch_stats

@@ -90,14 +90,23 @@ class BaseTask:
         # step buffer, reference arcface_head.py:69) must exist in the initial
         # variables so the engine threads it through the train step
         n = next(iter(batch.values())).shape[0]
-        with_target = {**batch, "target": jnp.zeros((n,), jnp.int32)} \
-            if "target" not in batch else batch
-        for candidate, train in ((with_target, True), (batch, True), (batch, False)):
+        with_targets = dict(batch)
+        for key, value in self.example_targets(n).items():
+            with_targets.setdefault(key, value)
+        candidates = [(with_targets, True)]
+        if with_targets.keys() != batch.keys():
+            candidates.append((batch, True))
+        for candidate, train in candidates:
             try:
                 return self.model.init(rngs, candidate, train=train)
             except (ValueError, KeyError, TypeError):
                 continue
         return self.model.init(rngs, batch, train=False)
+
+    def example_targets(self, batch_size: int) -> Dict[str, jnp.ndarray]:
+        """Dummy target entries for train-mode init; tasks with non-standard
+        target keys (multi-head) override."""
+        return {"target": jnp.zeros((batch_size,), jnp.int32)}
 
     def apply_model(self, variables, batch, train: bool, rngs=None,
                     mutable: Sequence[str] = ()) -> Tuple[Dict[str, Any], Dict]:

@@ -17,6 +17,16 @@ from torchok_tpu.constructor.config import ConfigNode
 from torchok_tpu.tasks.base import BaseTask
 
 
+def forward_aux_keys(batch, output):
+    """Retrieval-dataset auxiliaries flow through to the index-based meters
+    (representation mode); the reference only supported the classification
+    mode (group_labels=target) end to end."""
+    for key in ("scores", "query_idxs", "group_labels"):
+        if batch.get(key) is not None:
+            output[key] = batch[key]
+    return output
+
+
 class ClassificationModel(nn.Module):
     backbone: nn.Module
     neck: Optional[nn.Module] = None
@@ -37,13 +47,7 @@ class ClassificationModel(nn.Module):
             output["prediction"] = self.head(x, target=target, train=train)
         if target is not None:
             output["target"] = target
-        # retrieval-dataset auxiliaries flow through to the index-based
-        # meters (representation mode); the reference only supported the
-        # classification mode (group_labels=target) end to end
-        for key in ("scores", "query_idxs", "group_labels"):
-            if batch.get(key) is not None:
-                output[key] = batch[key]
-        return output
+        return forward_aux_keys(batch, output)
 
     def forward(self, image: jnp.ndarray) -> jnp.ndarray:
         """Inference path used for export (reference as_module semantics)."""

@@ -50,7 +50,8 @@ class MultiHeadModel(nn.Module):
             output[f"prediction_{head_name}"] = out
             if head_target is not None:
                 output[f"target_{target_name}"] = head_target
-        return output
+        from torchok_tpu.tasks.classification import forward_aux_keys
+        return forward_aux_keys(batch, output)
 
     def forward(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         features = self.backbone(image, train=False)
@@ -92,6 +93,11 @@ class MultiHeadClassificationTask(BaseTask):
 
         self.model = MultiHeadModel(backbone=self._backbone, pooling=pooling,
                                     heads=head_modules, target_mapping=target_mapping)
+
+    def example_targets(self, batch_size):
+        import jax.numpy as jnp
+        return {f"target_{t}": jnp.zeros((batch_size,), jnp.int32)
+                for t in self.model.target_mapping.values()}
 
     def as_module(self) -> nn.Module:
         return self.model

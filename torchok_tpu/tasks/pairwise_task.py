@@ -42,10 +42,8 @@ class PairwiseModel(nn.Module):
             output["target"] = target
         # retrieval metrics consume plain embeddings too
         output["embeddings"] = embedding
-        for key in ("scores", "query_idxs", "group_labels"):
-            if batch.get(key) is not None:
-                output[key] = batch[key]
-        return output
+        from torchok_tpu.tasks.classification import forward_aux_keys
+        return forward_aux_keys(batch, output)
 
     def forward(self, image: jnp.ndarray) -> jnp.ndarray:
         return self.inner.forward(image)

@@ -17,10 +17,11 @@ class SimCLRModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, Any]:
-        return {
+        from torchok_tpu.tasks.classification import forward_aux_keys
+        return forward_aux_keys(batch, {
             "emb1": self.inner.forward(batch["image_0"]),
             "emb2": self.inner.forward(batch["image_1"]),
-        }
+        })
 
     def forward(self, image: jnp.ndarray) -> jnp.ndarray:
         return self.inner.forward(image)

@@ -312,3 +312,62 @@ def test_find_lr_returns_suggestion(tmp_path):
     suggestion = find_lr(trainer, task, min_lr=1e-6, max_lr=1.0,
                          num_training=12)
     assert suggestion is None or (1e-7 < suggestion < 2.0)
+
+
+def test_loader_early_exit_no_stall(tmp_path):
+    """Breaking out of loader iteration (limit_train_batches) must not stall
+    on a blocked producer or leak its thread."""
+    import threading
+    import time as _time
+    config = make_config(tmp_path, max_epochs=1,
+                         trainer_extra={"limit_train_batches": 1})
+    task, trainer = build(config)
+    before = threading.active_count()
+    t0 = _time.perf_counter()
+    trainer.fit(task)
+    elapsed = _time.perf_counter() - t0
+    _time.sleep(0.5)
+    # the 5s join timeout would show up here if the producer were stuck
+    assert elapsed < 60
+    assert threading.active_count() <= before + 2
+
+
+def test_loader_propagates_dataset_errors(tmp_path):
+    """A crashing __getitem__ must fail the epoch loudly, not truncate it."""
+    from torchok_tpu.data.loader import DataLoader
+
+    class Boom:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            if i == 40:
+                raise RuntimeError("corrupt sample")
+            return {"x": np.float32(i)}
+
+    loader = DataLoader(Boom(), batch_size=8, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in loader:
+            pass
+
+
+def test_loader_num_workers_zero_is_synchronous(tmp_path):
+    from torchok_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"x": np.float32(i)}
+
+    loader = DataLoader(DS(), batch_size=4, num_workers=0)
+    assert loader.num_workers == 0
+    batches = list(loader)
+    assert len(batches) == 2 and batches[0]["x"].shape == (4,)
+
+
+def test_collate_bools_stay_bool():
+    from torchok_tpu.data.loader import default_collate
+    batch = default_collate([{"flag": True}, {"flag": False}])
+    assert batch["flag"].dtype == np.bool_

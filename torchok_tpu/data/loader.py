@@ -3,18 +3,25 @@
 TPU-native replacement for torch DataLoader + Lightning's loop plumbing
 (reference: torchok/constructor/constructor.py:293-308). Design:
 
-* worker *threads*, not processes — the hot per-sample work is cv2/numpy
-  which releases the GIL, so threads give parallel decode without the
-  spawn/pickle overhead of worker processes;
+* worker *threads*, not processes — the hot per-sample work is cv2/numpy and
+  the first-party native decoder, all of which release the GIL, so threads
+  give parallel decode without the spawn/pickle overhead of worker
+  processes; ``num_workers: 0`` means fully synchronous loading (torch
+  semantics);
 * batches are collated to numpy, then ``device_put`` with a batch-axis
   sharding (handed in by the engine) and pushed through the dataset's
   batched on-device transform suffix under jit;
 * double buffering: ``prefetch_factor`` batches are in flight on host and
   one device batch is prefetched ahead of the consumer, overlapping host
-  decode + PCIe transfer with TPU compute.
+  decode + PCIe transfer with TPU compute;
+* producer exceptions propagate to the consumer (a crashed worker fails the
+  epoch loudly instead of silently truncating it), and early consumer exit
+  (limit_*_batches, max_steps, sanity validation) drains the queue so the
+  producer thread always terminates promptly.
 """
 from __future__ import annotations
 
+import queue as queue_mod
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
@@ -32,12 +39,13 @@ def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
         first = vals[0]
         if isinstance(first, np.ndarray):
             batch[key] = np.stack(vals)
+        elif isinstance(first, (bool, np.bool_)):
+            # bool before int: Python bool is an int subclass
+            batch[key] = np.asarray(vals, dtype=bool)
         elif isinstance(first, (int, np.integer)):
             batch[key] = np.asarray(vals, dtype=np.int64)
         elif isinstance(first, (float, np.floating)):
             batch[key] = np.asarray(vals, dtype=np.float32)
-        elif isinstance(first, (bool, np.bool_)):
-            batch[key] = np.asarray(vals, dtype=bool)
         else:
             batch[key] = vals  # ragged / metadata: keep as list
     return batch
@@ -45,14 +53,15 @@ def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 drop_last: bool = False, num_workers: int = 0,
+                 drop_last: bool = False, num_workers: Optional[int] = None,
                  sampler=None, collate_fn: Optional[Callable] = None,
                  prefetch_factor: int = 2, seed: int = 0, **_ignored):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.num_workers = max(1, num_workers) if num_workers else 4
+        # torch semantics: 0 = synchronous in-thread loading; None = default
+        self.num_workers = 4 if num_workers is None else max(0, int(num_workers))
         self.sampler = sampler
         self.collate_fn = collate_fn or getattr(dataset, "collate_fn", None) or default_collate
         self.prefetch_factor = max(1, prefetch_factor)
@@ -61,7 +70,6 @@ class DataLoader:
         # engine-installed: converts a numpy host batch into a sharded device
         # batch with the on-device transform suffix applied
         self.device_fn: Optional[Callable[[Dict[str, Any], int], Any]] = None
-        self._pool: Optional[ThreadPoolExecutor] = None
 
     def __len__(self) -> int:
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
@@ -73,6 +81,9 @@ class DataLoader:
         self.epoch = epoch
         if hasattr(self.dataset, "seed"):
             self.dataset.seed(self.seed * 1_000_003 + epoch)
+        # torch sampler protocol: epoch-deterministic sampling orders
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
 
     def _index_batches(self) -> List[np.ndarray]:
         if self.sampler is not None:
@@ -102,16 +113,29 @@ class DataLoader:
         samples = [self.dataset[int(i)] for i in idxs]
         return self.collate_fn(samples)
 
-    def _fetch_parallel(self, pool: ThreadPoolExecutor, idxs: np.ndarray) -> Dict[str, Any]:
-        if self._vectorized or len(idxs) < 2 * self.num_workers:
+    def _fetch_parallel(self, pool: Optional[ThreadPoolExecutor],
+                        idxs: np.ndarray) -> Dict[str, Any]:
+        if pool is None or self._vectorized or len(idxs) < 2 * self.num_workers:
             return self._fetch(idxs)
         chunks = np.array_split(idxs, self.num_workers)
         parts = list(pool.map(lambda c: [self.dataset[int(i)] for i in c], chunks))
         samples = [s for part in parts for s in part]
         return self.collate_fn(samples)
 
+    def _iter_sync(self, batches) -> Iterator[Any]:
+        for step, idxs in enumerate(batches):
+            host_batch = self._fetch(idxs)
+            if self.device_fn is not None:
+                yield self.device_fn(host_batch, self.epoch * len(batches) + step)
+            else:
+                yield host_batch
+
     def __iter__(self) -> Iterator[Any]:
         batches = self._index_batches()
+        if self.num_workers == 0:
+            yield from self._iter_sync(batches)
+            return
+
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: Queue = Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()
@@ -121,9 +145,29 @@ class DataLoader:
                 for step, idxs in enumerate(batches):
                     if stop.is_set():
                         return
-                    q.put((step, self._fetch_parallel(pool, idxs)))
+                    item = (step, self._fetch_parallel(pool, idxs))
+                    # bounded put that re-checks stop: the consumer may have
+                    # exited early (limit_*_batches) with the queue full
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue_mod.Full:
+                            continue
+            except BaseException as exc:  # noqa: BLE001 — propagate to consumer
+                while not stop.is_set():
+                    try:
+                        q.put(("__error__", exc), timeout=0.1)
+                        return
+                    except queue_mod.Full:
+                        continue
             finally:
-                q.put(_SENTINEL)
+                while not stop.is_set():
+                    try:
+                        q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -134,6 +178,8 @@ class DataLoader:
                 if item is _SENTINEL:
                     break
                 step, host_batch = item
+                if step == "__error__":
+                    raise host_batch  # producer exception, re-raised here
                 if self.device_fn is not None:
                     dev = self.device_fn(host_batch, self.epoch * len(batches) + step)
                 else:
@@ -145,5 +191,11 @@ class DataLoader:
                 yield pending
         finally:
             stop.set()
+            # unblock a producer waiting on a full queue, then reap it
+            while True:
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    break
             t.join(timeout=5)
             pool.shutdown(wait=False)

@@ -16,6 +16,7 @@ This module re-implements that surface TPU-first:
 """
 from __future__ import annotations
 
+import threading as _threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -40,10 +41,29 @@ class BaseTransform:
 
     def __init__(self, always_apply: bool = False, p: float = 0.5):
         self.p = 1.0 if (always_apply or self.always_apply) else p
-        self.rng = np.random.default_rng()
+        self._base_seed: Optional[int] = None
+        self._local = _threading.local()
 
     def seed(self, seed: int) -> None:
-        self.rng = np.random.default_rng(seed)
+        self._base_seed = int(seed)
+        self._local = _threading.local()  # reset all per-thread streams
+
+    @property
+    def rng(self) -> np.random.Generator:
+        """Per-thread RNG: loader worker threads run transforms concurrently
+        and np.random.Generator is not thread-safe; each thread gets its own
+        stream derived from (seed, thread id). Deterministic per thread."""
+        r = getattr(self._local, "rng", None)
+        if r is None:
+            if self._base_seed is None:
+                r = np.random.default_rng()
+            else:
+                ss = np.random.SeedSequence(
+                    [self._base_seed & 0x7FFFFFFFFFFFFFFF,
+                     _threading.get_ident() & 0x7FFFFFFFFFFFFFFF])
+                r = np.random.default_rng(ss)
+            self._local.rng = r
+        return r
 
     # ------------------------------ host path ------------------------------
     def __call__(self, force_apply: bool = False, **sample) -> Dict[str, Any]:

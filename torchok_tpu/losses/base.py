@@ -30,6 +30,10 @@ class JointLoss:
         ws = [1.0] * len(losses) if num_specified == 0 else list(weights)
         if normalize_weights:
             total = sum(ws)
+            if total == 0:
+                raise ValueError(
+                    "JointLoss weights sum to 0; set normalize_weights: false "
+                    "to use zero/negative weights verbatim")
             ws = [w / total for w in ws]
         self.weights = ws
 

@@ -65,6 +65,11 @@ class MetricsManager:
                 parsed.append(p)
             else:  # ConfigNode / dict from the merged config
                 d = p.to_dict() if hasattr(p, "to_dict") else dict(p)
+                if not d.get("mapping"):
+                    raise ValueError(
+                        f"Metric {d.get('name')!r} has no 'mapping' block; map "
+                        "metric arguments to task outputs, e.g. "
+                        "mapping: {preds: prediction, target: target}")
                 phases = d.get("phases") or [ph.name for ph in Phase]
                 parsed.append(MetricParams(
                     name=d["name"], mapping=d.get("mapping", {}),

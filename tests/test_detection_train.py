@@ -135,3 +135,68 @@ def test_fcos_training_runs_and_logs_map(det_data, tmp_path):
     assert "train/loss" in logs and np.isfinite(logs["train/loss"])
     assert "valid/map50" in logs
     assert 0.0 <= logs["valid/map50"] <= 1.0
+
+
+def test_detr_training_with_shipped_loss_mappings(det_data, tmp_path):
+    """DETR head must train with the exact loss-mapping keys the shipped
+    recipes use (cls_scores/labels, bboxes/bboxes_gt, bbox_preds/bbox_targets)."""
+    cfg = {
+        "task": {
+            "name": "SingleStageDetectionTask",
+            "params": {
+                "backbone_name": "resnet10t",
+                "backbone_params": {"pretrained": False, "in_channels": 3},
+                "num_scales": 1,
+                "head_name": "DETRHead",
+                "head_params": {
+                    "num_classes": 1,
+                    "num_queries": 8,
+                    "embed_dim": 32,
+                    "num_heads": 2,
+                    "num_encoder_layers": 1,
+                    "num_decoder_layers": 1,
+                    "ffn_dim": 64,
+                    "test_cfg": {"max_per_img": 5},
+                },
+                "inputs": [{"shape": [3, 64, 64], "dtype": "float32"}],
+            },
+        },
+        "joint_loss": {
+            "normalize_weights": False,
+            "losses": [
+                {"name": "MMCrossEntropyLoss", "tag": "loss_cls",
+                 "params": {"use_sigmoid": False, "class_weight": 1.0},
+                 "mapping": {"cls_score": "cls_scores", "label": "labels",
+                             "weight": "label_weights",
+                             "avg_factor": "cls_avg_factor"}},
+                {"name": "MMGIoULoss", "tag": "loss_iou",
+                 "mapping": {"pred": "bboxes", "target": "bboxes_gt",
+                             "weight": "bbox_weights",
+                             "avg_factor": "num_total_pos"}},
+                {"name": "MML1Loss", "tag": "loss_bbox",
+                 "mapping": {"pred": "bbox_preds", "target": "bbox_targets",
+                             "weight": "bbox_weights",
+                             "avg_factor": "num_total_pos"}},
+            ],
+        },
+        "optimization": [
+            {"optimizer": {"name": "AdamW", "params": {"lr": 1e-4}}}],
+        "data": {"TRAIN": [{
+            "dataloader": {"batch_size": 4, "num_workers": 1, "drop_last": True},
+            "dataset": {"name": "DetectionDataset",
+                        "params": {"data_folder": str(det_data),
+                                   "annotation_path": "ann.csv",
+                                   "bbox_format": "coco", "max_boxes": 4},
+                        "transform": [{"name": "Normalize"},
+                                      {"name": "ToTensorV2"}]}}]},
+        "trainer": {"max_epochs": 1, "precision": 32},
+        "logger": {"name": "CSVLogger", "log_dir": str(tmp_path / "logs"),
+                   "experiment_name": "detr"},
+        "metrics": [],
+        "seed_params": {"seed": 3},
+    }
+    config = merge_structured(ConfigNode(cfg))
+    task = TASKS.get(config.task.name)(config, **config.task.params.to_dict())
+    trainer = create_trainer(config)
+    trainer.fit(task)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])

@@ -8,7 +8,8 @@ positional encodings and learned object queries. The Hungarian assignment
 ``hungarian_algorithm`` over a padded cost matrix — no host round-trip, no
 dynamic shapes. Loss routing matches the reference YAML mappings
 (cls_scores/labels/label_weights/cls_avg_factor, bboxes/bboxes_gt/
-bbox_weights/num_total_pos, bboxes_normalized/bboxes_gt_normalized).
+bbox_weights/num_total_pos, bbox_preds/bbox_targets — the reference
+head's loss-mapping keys, matched by the shipped DETR recipes).
 """
 from __future__ import annotations
 
@@ -22,7 +23,7 @@ from optax import assignment as optax_assignment
 
 from torchok_tpu.constructor import HEADS
 from torchok_tpu.models.base import BaseModel
-from torchok_tpu.ops.boxes import batched_nms, giou
+from torchok_tpu.ops.boxes import giou
 
 
 def sine_positional_encoding(h: int, w: int, dim: int, temperature: float = 10000.0):
@@ -30,7 +31,6 @@ def sine_positional_encoding(h: int, w: int, dim: int, temperature: float = 1000
     half = dim // 2
     y = jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5
     x = jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5
-    dim_t = temperature ** (2 * (jnp.arange(half // 2) // 1) / half)
     # standard DETR: scale to 2*pi over normalized coords
     y = y / h * 2 * math.pi
     x = x / w * 2 * math.pi
@@ -240,10 +240,15 @@ class DETRHead(BaseModel):
             bboxes_gt=jnp.where(pos_mask[..., None], gt_xyxy, pred_xyxy).reshape(-1, 4),
             bbox_weights=bbox_weights.reshape(-1, 4)[:, 0],
             num_total_pos=num_total_pos,
-            bboxes_normalized=bbox_preds_raw.reshape(-1, 4).astype(jnp.float32),
-            bboxes_gt_normalized=jnp.where(pos_mask[..., None], matched_gt,
-                                           bbox_preds_raw.astype(jnp.float32)).reshape(-1, 4),
+            bbox_preds=bbox_preds_raw.reshape(-1, 4).astype(jnp.float32),
+            bbox_targets=jnp.where(pos_mask[..., None], matched_gt,
+                                   bbox_preds_raw.astype(jnp.float32)).reshape(-1, 4),
         )
+
+    def _test_cfg(self, key, default):
+        cfg = self.test_cfg if isinstance(self.test_cfg, dict) else \
+            (self.test_cfg.to_dict() if hasattr(self.test_cfg, "to_dict") else {})
+        return cfg.get(key, default)
 
     def get_bboxes(self, cls_scores_raw, bbox_preds_raw,
                    img_shape: Optional[Tuple[int, int]] = None, **kwargs):
@@ -252,8 +257,11 @@ class DETRHead(BaseModel):
         probs = jax.nn.softmax(cls_scores_raw.astype(jnp.float32), -1)[..., :-1]
         scores = jnp.max(probs, -1)
         labels = jnp.argmax(probs, -1)
+        score_thr = self._test_cfg("score_thr", self.score_thr)
+        if score_thr:
+            scores = jnp.where(scores > score_thr, scores, 0.0)
         boxes = cxcywh_to_xyxy(bbox_preds_raw.astype(jnp.float32)) * scale
-        k = min(self.max_per_img, scores.shape[1])
+        k = min(self._test_cfg("max_per_img", self.max_per_img), scores.shape[1])
         top_scores, idx = jax.lax.top_k(scores, k)
         top_boxes = jnp.take_along_axis(boxes, idx[..., None], 1)
         top_labels = jnp.take_along_axis(labels, idx, 1)

@@ -32,10 +32,6 @@ from torchok_tpu.ops.boxes import batched_nms, distance2bbox
 INF = 1e8
 
 
-def _group_norm(x, name_scope, num_groups=32):
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name=name_scope)(x)
-
-
 class Scale(nn.Module):
     init_value: float = 1.0
 
@@ -119,9 +115,11 @@ class FCOSHead(BaseModel):
             ctr_out = conv_ctr(ctr_src)
             reg_out = Scale(name=f"scale_{lvl}")(reg_out)
             if self.norm_on_bbox:
+                # stride-normalized distances in BOTH train and eval so the
+                # validation loss sees the same units as training (the mmdet
+                # original rescales here in eval because it never computes an
+                # eval loss; decoding applies the stride in get_bboxes)
                 reg_out = nn.relu(reg_out)
-                if not train:
-                    reg_out = reg_out * self.strides[lvl]
             else:
                 reg_out = jnp.exp(reg_out)
             cls_scores.append(cls_out)
@@ -137,6 +135,14 @@ class FCOSHead(BaseModel):
     def _level_points(self, featmap_sizes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Static point grid over all levels: (P, 2) centers, (P,) strides,
         (P, 2) regress ranges."""
+        if len(featmap_sizes) != len(self.strides):
+            raise ValueError(
+                f"FCOSHead got {len(featmap_sizes)} feature levels but "
+                f"{len(self.strides)} strides")
+        if len(self.regress_ranges) < len(self.strides):
+            raise ValueError(
+                f"regress_ranges ({len(self.regress_ranges)}) must cover every "
+                f"stride ({len(self.strides)}); override both together")
         pts, strides, ranges = [], [], []
         for (h, w), s, rr in zip(featmap_sizes, self.strides, self.regress_ranges):
             ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -260,6 +266,8 @@ class FCOSHead(BaseModel):
             [b.reshape(num_imgs, -1, 4) for b in bbox_preds], 1)
         flat_ctr = jnp.concatenate(
             [c.reshape(num_imgs, -1) for c in centernesses], 1)
+        if self.norm_on_bbox:
+            flat_reg = flat_reg * jnp.asarray(strides_np)[None, :, None]
 
         probs = jax.nn.sigmoid(flat_cls.astype(jnp.float32))
         ctr = jax.nn.sigmoid(flat_ctr.astype(jnp.float32))[..., None]
@@ -269,14 +277,25 @@ class FCOSHead(BaseModel):
         score_thr = self._test_cfg("score_thr", self.score_thr)
         iou_thr = self._test_cfg("iou_threshold", self.nms_iou_threshold)
         max_per_img = self._test_cfg("max_per_img", self.max_per_img)
+        # per-level candidate boundaries (mmdet applies nms_pre per level so
+        # dense shallow levels cannot crowd deep levels out)
+        level_sizes = [h * w for (h, w) in featmap_sizes]
+        level_starts = np.concatenate([[0], np.cumsum(level_sizes)]).astype(int)
 
         def per_image(score_pc, reg_p):
-            p, c = score_pc.shape
-            flat = score_pc.reshape(-1)
-            k = min(nms_pre, flat.shape[0])
-            top_scores, top_idx = jax.lax.top_k(flat, k)
-            pt_idx = top_idx // c
-            cls_idx = top_idx % c
+            cand_scores, cand_pts, cand_cls = [], [], []
+            c = score_pc.shape[1]
+            for li in range(len(level_sizes)):
+                s0, s1 = int(level_starts[li]), int(level_starts[li + 1])
+                lvl_flat = score_pc[s0:s1].reshape(-1)
+                k = min(nms_pre, lvl_flat.shape[0])
+                top_scores, top_idx = jax.lax.top_k(lvl_flat, k)
+                cand_scores.append(top_scores)
+                cand_pts.append(s0 + top_idx // c)
+                cand_cls.append(top_idx % c)
+            top_scores = jnp.concatenate(cand_scores)
+            pt_idx = jnp.concatenate(cand_pts)
+            cls_idx = jnp.concatenate(cand_cls)
             boxes = distance2bbox(points[pt_idx], reg_p[pt_idx], max_shape=img_shape)
             top_scores = jnp.where(top_scores > score_thr, top_scores, 0.0)
             keep_idx, keep_scores = batched_nms(

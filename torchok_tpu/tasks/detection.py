@@ -39,7 +39,8 @@ class DetectionModel(nn.Module):
             output["gt_labels"] = batch["label"]
         if not train or self.decode_predictions:
             preds = self.bbox_head.get_bboxes(
-                **self.bbox_head.format_dict(head_out),
+                **{k: v for k, v in output.items()
+                   if k not in ("img_shape", "gt_bboxes", "gt_labels")},
                 img_shape=tuple(x.shape[1:3]))
             output["prediction_bboxes"] = preds["bboxes"]
             output["prediction_scores"] = preds["scores"]

@@ -11,6 +11,7 @@ re-registers; warmup-enabled timm variants keep their parameter names.
 """
 from __future__ import annotations
 
+import ast
 import math
 from bisect import bisect_right
 from typing import Callable, List, Optional, Sequence
@@ -18,6 +19,54 @@ from typing import Callable, List, Optional, Sequence
 from torchok_tpu.constructor import SCHEDULERS
 
 __all__ = []
+
+# --- restricted lr_lambda parser ------------------------------------------
+# YAML-provided lambdas are parsed into a whitelisted expression grammar
+# (arithmetic, comparisons, ternaries, min/max/abs/round/pow, math.*) —
+# never raw eval(), so a config file cannot execute arbitrary code.
+
+_LAMBDA_NODES = (
+    ast.Expression, ast.Lambda, ast.arguments, ast.arg,
+    ast.BinOp, ast.UnaryOp, ast.BoolOp, ast.IfExp, ast.Compare, ast.Call,
+    ast.Constant, ast.Name, ast.Load, ast.Attribute, ast.Tuple,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod, ast.Pow,
+    ast.USub, ast.UAdd, ast.Not, ast.And, ast.Or,
+    ast.Lt, ast.LtE, ast.Gt, ast.GtE, ast.Eq, ast.NotEq,
+)
+_LAMBDA_FUNCS = {"min": min, "max": max, "abs": abs, "float": float,
+                 "int": int, "round": round, "pow": pow}
+
+
+def parse_lr_lambda(src: str) -> Callable[[int], float]:
+    """Parse a YAML ``lr_lambda`` string like ``"lambda epoch: 0.95 ** epoch"``
+    into a callable, allowing only arithmetic expressions (no attribute access
+    except ``math.*``, no builtins beyond min/max/abs/float/int/round/pow)."""
+    tree = ast.parse(src.strip(), mode="eval")
+    if not isinstance(tree.body, ast.Lambda):
+        raise ValueError(f"lr_lambda must be a lambda expression, got: {src!r}")
+    arg_names = {a.arg for a in tree.body.args.args}
+    for node in ast.walk(tree):
+        if not isinstance(node, _LAMBDA_NODES):
+            raise ValueError(
+                f"disallowed syntax {type(node).__name__!r} in lr_lambda {src!r}")
+        if isinstance(node, ast.Attribute):
+            if not (isinstance(node.value, ast.Name) and node.value.id == "math"
+                    and isinstance(node.ctx, ast.Load)):
+                raise ValueError(
+                    f"only math.* attributes are allowed in lr_lambda {src!r}")
+        if isinstance(node, ast.Name):
+            if node.id not in arg_names and node.id != "math" \
+                    and node.id not in _LAMBDA_FUNCS:
+                raise ValueError(f"unknown name {node.id!r} in lr_lambda {src!r}")
+        if isinstance(node, ast.Call):
+            fn = node.func
+            ok = (isinstance(fn, ast.Name) and fn.id in _LAMBDA_FUNCS) or \
+                 (isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name)
+                  and fn.value.id == "math")
+            if not ok or node.keywords:
+                raise ValueError(f"disallowed call in lr_lambda {src!r}")
+    namespace = {"__builtins__": {}, "math": math, **_LAMBDA_FUNCS}
+    return eval(compile(tree, "<lr_lambda>", "eval"), namespace)  # noqa: S307 — AST-whitelisted above
 
 
 class BaseLRScheduler:
@@ -60,7 +109,7 @@ class LambdaLR(BaseLRScheduler):
     def __init__(self, lr_lambda, **_):
         super().__init__()
         if isinstance(lr_lambda, str):
-            lr_lambda = eval(lr_lambda)  # noqa: S307 — YAML-provided lambda, same trust as config
+            lr_lambda = parse_lr_lambda(lr_lambda)
         self.lr_lambda = lr_lambda
 
     def lr_at(self, epoch: int) -> float:
@@ -72,7 +121,7 @@ class MultiplicativeLR(BaseLRScheduler):
     def __init__(self, lr_lambda, **_):
         super().__init__()
         if isinstance(lr_lambda, str):
-            lr_lambda = eval(lr_lambda)  # noqa: S307
+            lr_lambda = parse_lr_lambda(lr_lambda)
         self.lr_lambda = lr_lambda
 
     def lr_at(self, epoch: int) -> float:
@@ -182,20 +231,24 @@ class OneCycleLR(BaseLRScheduler):
         self.anneal_strategy = anneal_strategy
 
     def lr_at(self, epoch: int) -> float:
+        # Matches torch.optim.lr_scheduler.OneCycleLR (three_phase=False):
+        # ramp initial->max_lr over [0, pct_start*total-1], then
+        # max_lr->final over [pct_start*total-1, total-1].
         initial = self.max_lr / self.div_factor
         final = initial / self.final_div_factor
-        up = int(self.total_steps * self.pct_start)
-        e = min(epoch, self.total_steps)
+        up_end = float(self.pct_start * self.total_steps) - 1
+        down_end = float(self.total_steps) - 1
+        e = min(epoch, self.total_steps - 1)
 
-        def anneal(a, b, t):
+        def anneal(start, end, pct):
             if self.anneal_strategy == "cos":
-                return b + (a - b) * (1 + math.cos(math.pi * t)) / 2
-            return a + (b - a) * t
+                return end + (start - end) * (1 + math.cos(math.pi * pct)) / 2
+            return start + (end - start) * pct
 
-        if e < up:
-            return anneal(initial, self.max_lr, 1 - e / max(up, 1))
-        t = (e - up) / max(self.total_steps - up, 1)
-        return anneal(self.max_lr, final, t)
+        if e <= up_end:
+            return anneal(initial, self.max_lr, e / max(up_end, 1e-12))
+        pct = (e - up_end) / max(down_end - up_end, 1e-12)
+        return anneal(self.max_lr, final, min(pct, 1.0))
 
 
 @SCHEDULERS.register_class(name="ReduceLROnPlateau")

@@ -89,19 +89,29 @@ class DetectionDataset(ImageDataset):
         out_labels[:n] = labels[:n]
         return out_boxes, out_labels
 
+    @staticmethod
+    def _drop_degenerate(boxes: np.ndarray, labels: np.ndarray):
+        """Transforms clip boxes to the frame but never drop rows (so labels
+        stay aligned); fully-clipped (zero-extent) boxes are removed here."""
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        keep = (boxes[:, 2] - boxes[:, 0] > 1e-3) & \
+               (boxes[:, 3] - boxes[:, 1] > 1e-3)
+        return boxes[keep], labels[keep]
+
     def get_raw(self, idx: int) -> dict:
         image, boxes, labels = self._load(idx)
         sample = {"image": image, "bboxes": boxes, "index": idx}
         sample = self._apply_transform(self.augment, sample)
-        sample["label"] = labels
+        sample["bboxes"], sample["label"] = self._drop_degenerate(
+            sample["bboxes"], labels)
         return sample
 
     def __getitem__(self, idx: int) -> dict:
         image, boxes, labels = self._load(idx)
         orig_shape = np.asarray(image.shape[:2], np.int64)
         sample = self.apply_host_pipeline({"image": image, "bboxes": boxes})
-        boxes, labels = self._pad(np.asarray(sample["bboxes"], np.float32).reshape(-1, 4),
-                                  labels)
+        boxes, labels = self._drop_degenerate(sample["bboxes"], labels)
+        boxes, labels = self._pad(boxes, labels)
         out = {"image": sample["image"], "index": idx,
                "orig_img_shape": orig_shape}
         if not self.test_mode:

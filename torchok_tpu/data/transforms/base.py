@@ -38,6 +38,11 @@ class BaseTransform:
     device_needs_uniform: bool = False
     # True when the op is deterministic (p is ignored / always applied)
     always_apply: bool = False
+    # True for ops that change image geometry (resize/crop/flip/warp…): such
+    # an op MUST override apply_to_bboxes, otherwise passing bboxes through
+    # it raises — a silent identity would misalign GT boxes (the reference
+    # gets this via albumentations BboxParams; we enforce it structurally)
+    geometric: bool = False
 
     def __init__(self, always_apply: bool = False, p: float = 0.5):
         self.p = 1.0 if (always_apply or self.always_apply) else p
@@ -75,6 +80,12 @@ class BaseTransform:
             if "mask" in sample and sample["mask"] is not None:
                 out["mask"] = self.apply_to_mask(sample["mask"], **params)
             if "bboxes" in sample and sample["bboxes"] is not None:
+                if self.geometric and \
+                        type(self).apply_to_bboxes is BaseTransform.apply_to_bboxes:
+                    raise NotImplementedError(
+                        f"{type(self).__name__} changes image geometry but has "
+                        f"no bbox handler; it cannot be used in a pipeline that "
+                        f"carries bboxes (detection datasets)")
                 out["bboxes"] = self.apply_to_bboxes(
                     sample["bboxes"], sample["image"].shape, **params)
             return out

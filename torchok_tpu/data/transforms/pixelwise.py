@@ -84,6 +84,7 @@ class ToTensorV2(BaseTransform):
 
 @TRANSFORMS.register_class
 class HorizontalFlip(BaseTransform):
+    geometric = True
     device_capable = True
     device_bbox_safe = False
 
@@ -92,6 +93,12 @@ class HorizontalFlip(BaseTransform):
 
     def apply_to_mask(self, mask, **params):
         return np.ascontiguousarray(mask[:, ::-1])
+
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        b = np.asarray(bboxes, np.float32).reshape(-1, 4).copy()
+        w = image_shape[1]
+        b[:, [0, 2]] = w - b[:, [2, 0]]
+        return b
 
     def apply_batch(self, batch, rng):
         batch = dict(batch)
@@ -107,6 +114,7 @@ class HorizontalFlip(BaseTransform):
 
 @TRANSFORMS.register_class
 class VerticalFlip(BaseTransform):
+    geometric = True
     device_capable = True
     device_bbox_safe = False
 
@@ -115,6 +123,12 @@ class VerticalFlip(BaseTransform):
 
     def apply_to_mask(self, mask, **params):
         return np.ascontiguousarray(mask[::-1])
+
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        b = np.asarray(bboxes, np.float32).reshape(-1, 4).copy()
+        h = image_shape[0]
+        b[:, [1, 3]] = h - b[:, [3, 1]]
+        return b
 
     def apply_batch(self, batch, rng):
         batch = dict(batch)
@@ -132,6 +146,8 @@ class VerticalFlip(BaseTransform):
 class Flip(BaseTransform):
     """Random flip: horizontal, vertical or both."""
 
+    geometric = True
+
     def get_params(self, sample):
         return {"code": int(self.rng.integers(-1, 2))}
 
@@ -140,6 +156,15 @@ class Flip(BaseTransform):
 
     def apply_to_mask(self, mask, code=0, **params):
         return np.ascontiguousarray(cv2.flip(mask, code))
+
+    def apply_to_bboxes(self, bboxes, image_shape, code=0, **params):
+        b = np.asarray(bboxes, np.float32).reshape(-1, 4).copy()
+        h, w = image_shape[:2]
+        if code in (1, -1):  # cv2 code 1 = horizontal
+            b[:, [0, 2]] = w - b[:, [2, 0]]
+        if code in (0, -1):  # cv2 code 0 = vertical
+            b[:, [1, 3]] = h - b[:, [3, 1]]
+        return b
 
 
 @TRANSFORMS.register_class

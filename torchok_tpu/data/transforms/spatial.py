@@ -29,9 +29,54 @@ def _resize(img: np.ndarray, h: int, w: int, interpolation=_INTERP) -> np.ndarra
     return out
 
 
+# ------------------------------ bbox helpers ------------------------------
+# Boxes are pixel pascal_voc xyxy rows; transforms keep row alignment with
+# the labels (clip, never drop) — degenerate boxes are filtered by the
+# dataset after the pipeline (DetectionDataset.__getitem__).
+
+def _as_boxes(bboxes) -> np.ndarray:
+    return np.asarray(bboxes, np.float32).reshape(-1, 4)
+
+
+def _scale_bboxes(bboxes, sx: float, sy: float) -> np.ndarray:
+    b = _as_boxes(bboxes).copy()
+    b[:, [0, 2]] *= sx
+    b[:, [1, 3]] *= sy
+    return b
+
+
+def _shift_clip_bboxes(bboxes, x0, y0, crop_w, crop_h):
+    b = _as_boxes(bboxes).copy()
+    b[:, [0, 2]] -= x0
+    b[:, [1, 3]] -= y0
+    b[:, [0, 2]] = np.clip(b[:, [0, 2]], 0, crop_w)
+    b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, crop_h)
+    return b
+
+
+def _affine_bboxes(bboxes, m, out_w: int, out_h: int) -> np.ndarray:
+    """Map each box's 4 corners through a 2x3 affine (or 3x3 projective)
+    matrix, take the axis-aligned envelope, clip to the output frame."""
+    b = _as_boxes(bboxes)
+    if len(b) == 0:
+        return b
+    corners = np.stack([b[:, [0, 1]], b[:, [2, 1]],
+                        b[:, [0, 3]], b[:, [2, 3]]], axis=1)  # (N, 4, 2)
+    ones = np.ones(corners.shape[:2] + (1,), np.float32)
+    pts = np.concatenate([corners, ones], axis=-1) @ np.asarray(m, np.float32).T
+    if pts.shape[-1] == 3:  # projective: de-homogenize
+        pts = pts[..., :2] / np.clip(pts[..., 2:3], 1e-9, None)
+    out = np.stack([pts[..., 0].min(1), pts[..., 1].min(1),
+                    pts[..., 0].max(1), pts[..., 1].max(1)], axis=1)
+    out[:, [0, 2]] = np.clip(out[:, [0, 2]], 0, out_w)
+    out[:, [1, 3]] = np.clip(out[:, [1, 3]], 0, out_h)
+    return out
+
+
 @TRANSFORMS.register_class
 class Resize(BaseTransform):
     always_apply = True
+    geometric = True
     device_capable = True
     device_needs_uniform = True  # batched resize needs one input shape
     device_bbox_safe = False  # apply_batch does not rescale bboxes
@@ -80,6 +125,7 @@ class FitResize(BaseTransform):
     """Aspect-preserving fit-in-rectangle resize (reference custom op)."""
 
     always_apply = True
+    geometric = True
 
     def __init__(self, max_height: int = 1024, max_width: int = 1024,
                  interpolation: int = _INTERP, always_apply: bool = False,
@@ -104,10 +150,17 @@ class FitResize(BaseTransform):
         s = self._scale(h, w)
         return _resize(mask, max(1, round(h * s)), max(1, round(w * s)), cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        h, w = image_shape[:2]
+        s = self._scale(h, w)
+        nh, nw = max(1, round(h * s)), max(1, round(w * s))
+        return _scale_bboxes(bboxes, nw / w, nh / h)
+
 
 @TRANSFORMS.register_class
 class LongestMaxSize(BaseTransform):
     always_apply = True
+    geometric = True
 
     def __init__(self, max_size: int = 1024, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -124,11 +177,17 @@ class LongestMaxSize(BaseTransform):
         h, w = mask.shape[:2]
         s = self.max_size / max(h, w)
         return _resize(mask, round(h * s), round(w * s), cv2.INTER_NEAREST)
+
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        h, w = image_shape[:2]
+        s = self.max_size / max(h, w)
+        return _scale_bboxes(bboxes, round(w * s) / w, round(h * s) / h)
 
 
 @TRANSFORMS.register_class
 class SmallestMaxSize(BaseTransform):
     always_apply = True
+    geometric = True
 
     def __init__(self, max_size: int = 1024, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -146,8 +205,15 @@ class SmallestMaxSize(BaseTransform):
         s = self.max_size / min(h, w)
         return _resize(mask, round(h * s), round(w * s), cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        h, w = image_shape[:2]
+        s = self.max_size / min(h, w)
+        return _scale_bboxes(bboxes, round(w * s) / w, round(h * s) / h)
+
 
 class _CropBase(BaseTransform):
+    geometric = True
+
     def _crop(self, arr, y0, x0, h, w):
         return arr[y0:y0 + h, x0:x0 + w]
 
@@ -171,6 +237,11 @@ class CenterCrop(_CropBase):
     def apply_to_mask(self, mask, y0=0, x0=0, **params):
         return self._crop(mask, y0, x0, self.height, self.width)
 
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, **params):
+        h, w = image_shape[:2]
+        return _shift_clip_bboxes(bboxes, x0, y0,
+                                  min(self.width, w - x0), min(self.height, h - y0))
+
 
 @TRANSFORMS.register_class
 class RandomCrop(_CropBase):
@@ -191,6 +262,11 @@ class RandomCrop(_CropBase):
     def apply_to_mask(self, mask, y0=0, x0=0, **params):
         return self._crop(mask, y0, x0, self.height, self.width)
 
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, **params):
+        h, w = image_shape[:2]
+        return _shift_clip_bboxes(bboxes, x0, y0,
+                                  min(self.width, w - x0), min(self.height, h - y0))
+
 
 @TRANSFORMS.register_class
 class Crop(_CropBase):
@@ -207,9 +283,17 @@ class Crop(_CropBase):
     def apply_to_mask(self, mask, **params):
         return mask[self.y_min:self.y_max, self.x_min:self.x_max]
 
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        h, w = image_shape[:2]
+        return _shift_clip_bboxes(bboxes, self.x_min, self.y_min,
+                                  max(min(self.x_max, w) - self.x_min, 1),
+                                  max(min(self.y_max, h) - self.y_min, 1))
+
 
 @TRANSFORMS.register_class
 class RandomResizedCrop(BaseTransform):
+    geometric = True
+
     def __init__(self, height: int, width: int, scale=(0.08, 1.0),
                  ratio=(3 / 4, 4 / 3), interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -243,10 +327,15 @@ class RandomResizedCrop(BaseTransform):
         crop = mask[y0:y0 + ch, x0:x0 + cw]
         return _resize(crop, self.height, self.width, cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        b = _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+        return _scale_bboxes(b, self.width / cw, self.height / ch)
+
 
 @TRANSFORMS.register_class
 class PadIfNeeded(BaseTransform):
     always_apply = True
+    geometric = True
 
     def __init__(self, min_height: int = 1024, min_width: int = 1024,
                  border_mode: int = cv2.BORDER_REFLECT_101, value=None,
@@ -272,9 +361,18 @@ class PadIfNeeded(BaseTransform):
         return cv2.copyMakeBorder(mask, t, b, l, r, self.border_mode,
                                   value=self.mask_value)
 
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        t, _, l, _ = self._pads(*image_shape[:2])
+        b = _as_boxes(bboxes).copy()
+        b[:, [0, 2]] += l
+        b[:, [1, 3]] += t
+        return b
+
 
 @TRANSFORMS.register_class
 class Rotate(BaseTransform):
+    geometric = True
+
     def __init__(self, limit: Union[float, Tuple[float, float]] = 90,
                  interpolation: int = _INTERP,
                  border_mode: int = cv2.BORDER_REFLECT_101, value=None,
@@ -301,9 +399,16 @@ class Rotate(BaseTransform):
     def apply_to_mask(self, mask, angle=0.0, **params):
         return self._rotate(mask, angle, cv2.INTER_NEAREST, self.border_mode, self.mask_value)
 
+    def apply_to_bboxes(self, bboxes, image_shape, angle=0.0, **params):
+        h, w = image_shape[:2]
+        m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+        return _affine_bboxes(bboxes, m, w, h)
+
 
 @TRANSFORMS.register_class
 class RandomRotate90(BaseTransform):
+    geometric = True
+
     def get_params(self, sample):
         return {"k": int(self.rng.integers(0, 4))}
 
@@ -313,18 +418,36 @@ class RandomRotate90(BaseTransform):
     def apply_to_mask(self, mask, k=0, **params):
         return np.ascontiguousarray(np.rot90(mask, k))
 
+    def apply_to_bboxes(self, bboxes, image_shape, k=0, **params):
+        # np.rot90 is counter-clockwise: (x, y) -> (y, w - x) per turn
+        b = _as_boxes(bboxes).copy()
+        h, w = image_shape[:2]
+        for _ in range(k % 4):
+            x0, y0 = b[:, 0].copy(), b[:, 1].copy()
+            x1, y1 = b[:, 2].copy(), b[:, 3].copy()
+            b = np.stack([y0, w - x1, y1, w - x0], axis=1)
+            h, w = w, h
+        return b
+
 
 @TRANSFORMS.register_class
 class Transpose(BaseTransform):
+    geometric = True
+
     def apply(self, image, **params):
         return np.ascontiguousarray(image.swapaxes(0, 1))
 
     def apply_to_mask(self, mask, **params):
         return np.ascontiguousarray(mask.swapaxes(0, 1))
 
+    def apply_to_bboxes(self, bboxes, image_shape, **params):
+        return _as_boxes(bboxes)[:, [1, 0, 3, 2]]
+
 
 @TRANSFORMS.register_class
 class ShiftScaleRotate(BaseTransform):
+    geometric = True
+
     def __init__(self, shift_limit=0.0625, scale_limit=0.1, rotate_limit=45,
                  interpolation: int = _INTERP,
                  border_mode: int = cv2.BORDER_REFLECT_101, value=None,
@@ -362,9 +485,19 @@ class ShiftScaleRotate(BaseTransform):
     def apply_to_mask(self, mask, angle=0.0, scale=1.0, dx=0.0, dy=0.0, **params):
         return self._warp(mask, angle, scale, dx, dy, cv2.INTER_NEAREST, self.mask_value)
 
+    def apply_to_bboxes(self, bboxes, image_shape, angle=0.0, scale=1.0,
+                        dx=0.0, dy=0.0, **params):
+        h, w = image_shape[:2]
+        m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, scale)
+        m[0, 2] += dx * w
+        m[1, 2] += dy * h
+        return _affine_bboxes(bboxes, m, w, h)
+
 
 @TRANSFORMS.register_class
 class RandomScale(BaseTransform):
+    geometric = True
+
     def __init__(self, scale_limit=0.1, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -383,6 +516,10 @@ class RandomScale(BaseTransform):
         h, w = mask.shape[:2]
         return _resize(mask, round(h * scale), round(w * scale), cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, scale=1.0, **params):
+        h, w = image_shape[:2]
+        return _scale_bboxes(bboxes, round(w * scale) / w, round(h * scale) / h)
+
 
 def _remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
            interpolation=_INTERP, border_mode=cv2.BORDER_REFLECT_101) -> np.ndarray:
@@ -395,7 +532,12 @@ def _remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
 
 @TRANSFORMS.register_class
 class ElasticTransform(BaseTransform):
-    """Elastic deformation via a gaussian-smoothed random displacement field."""
+    """Elastic deformation via a gaussian-smoothed random displacement field.
+
+    No bbox handler (matching albumentations): using it in a bbox pipeline
+    raises via the BaseTransform geometric guard."""
+
+    geometric = True
 
     def __init__(self, alpha: float = 1.0, sigma: float = 50.0,
                  alpha_affine: float = 50.0, interpolation: int = _INTERP,
@@ -427,7 +569,10 @@ class ElasticTransform(BaseTransform):
 
 @TRANSFORMS.register_class
 class GridDistortion(BaseTransform):
-    """Per-grid-cell random stretch of the coordinate grid."""
+    """Per-grid-cell random stretch of the coordinate grid. No bbox handler
+    (matching albumentations) — raises in bbox pipelines."""
+
+    geometric = True
 
     def __init__(self, num_steps: int = 5, distort_limit: float = 0.3,
                  interpolation: int = _INTERP,
@@ -472,7 +617,10 @@ class GridDistortion(BaseTransform):
 
 @TRANSFORMS.register_class
 class OpticalDistortion(BaseTransform):
-    """Barrel/pincushion distortion via cv2 undistort maps."""
+    """Barrel/pincushion distortion via cv2 undistort maps. No bbox handler
+    (matching albumentations) — raises in bbox pipelines."""
+
+    geometric = True
 
     def __init__(self, distort_limit: float = 0.05, shift_limit: float = 0.05,
                  interpolation: int = _INTERP,
@@ -506,6 +654,8 @@ class OpticalDistortion(BaseTransform):
 
 @TRANSFORMS.register_class
 class Perspective(BaseTransform):
+    geometric = True
+
     def __init__(self, scale=(0.05, 0.1), interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -528,25 +678,33 @@ class Perspective(BaseTransform):
         h, w = mask.shape[:2]
         return cv2.warpPerspective(mask, matrix, (w, h), flags=cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, matrix=None, **params):
+        h, w = image_shape[:2]
+        return _affine_bboxes(bboxes, matrix, w, h)
+
 
 @TRANSFORMS.register_class
 class Affine(BaseTransform):
+    geometric = True
+
     def __init__(self, scale=None, translate_percent=None, rotate=None, shear=None,
                  interpolation: int = _INTERP, always_apply: bool = False,
                  p: float = 0.5, **_):
         super().__init__(always_apply, p)
-        def _pair(v, default):
+        def _pair(v, default, around_one=False):
+            # scalar scale v means (1-v, 1+v); scalar rotate/shear/translate
+            # means the symmetric range (-v, v)
             if v is None:
                 return default
             if isinstance(v, (int, float)):
-                return (-v, v) if default[0] < 0 else (1 - v, 1 + v)
+                return (1 - v, 1 + v) if around_one else (-v, v)
             if isinstance(v, dict):
                 return tuple(v.get("x", default))
             return tuple(v)
-        self.scale = _pair(scale, (1.0, 1.0))
+        self.scale = _pair(scale, (1.0, 1.0), around_one=True)
         self.translate = _pair(translate_percent, (0.0, 0.0))
-        self.rotate = _pair(rotate, (-0.0, 0.0))
-        self.shear = _pair(shear, (-0.0, 0.0))
+        self.rotate = _pair(rotate, (0.0, 0.0))
+        self.shear = _pair(shear, (0.0, 0.0))
         self.interpolation = interpolation
 
     def get_params(self, sample):
@@ -575,23 +733,22 @@ class Affine(BaseTransform):
         return cv2.warpAffine(mask, self._matrix(h, w, sc, tx, ty, ang, sh),
                               (w, h), flags=cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, sc=1.0, tx=0.0, ty=0.0,
+                        ang=0.0, sh=0.0, **params):
+        h, w = image_shape[:2]
+        return _affine_bboxes(bboxes, self._matrix(h, w, sc, tx, ty, ang, sh), w, h)
+
 
 # ----------------------- extended crop / geometry ops -----------------------
 # (completing the reference's registry surface, reference:
 #  torchok/data/transforms/__init__.py:28-64)
 
-def _shift_clip_bboxes(bboxes, x0, y0, crop_w, crop_h):
-    b = np.asarray(bboxes, np.float32).reshape(-1, 4).copy()
-    b[:, [0, 2]] -= x0
-    b[:, [1, 3]] -= y0
-    b[:, [0, 2]] = np.clip(b[:, [0, 2]], 0, crop_w)
-    b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, crop_h)
-    return b
-
 
 @TRANSFORMS.register_class
 class RandomSizedCrop(BaseTransform):
     """Crop a random-sized window and resize to (height, width)."""
+
+    geometric = True
 
     def __init__(self, min_max_height, height: int, width: int,
                  w2h_ratio: float = 1.0, interpolation: int = _INTERP,
@@ -630,6 +787,8 @@ class RandomSizedCrop(BaseTransform):
 class BBoxSafeRandomCrop(BaseTransform):
     """Random crop that always contains every bbox (albumentations
     semantics: the crop window is the bbox union, optionally eroded)."""
+
+    geometric = True
 
     def __init__(self, erosion_rate: float = 0.0, always_apply: bool = False,
                  p: float = 1.0, **_):
@@ -692,6 +851,8 @@ class RandomSizedBBoxSafeCrop(BBoxSafeRandomCrop):
 
 @TRANSFORMS.register_class
 class RandomCropFromBorders(BaseTransform):
+    geometric = True
+
     def __init__(self, crop_left: float = 0.1, crop_right: float = 0.1,
                  crop_top: float = 0.1, crop_bottom: float = 0.1,
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -720,6 +881,8 @@ class RandomCropFromBorders(BaseTransform):
 @TRANSFORMS.register_class
 class RandomCropNearBBox(BaseTransform):
     """Crop around the sample's ``cropping_bbox`` with random jitter."""
+
+    geometric = True
 
     def __init__(self, max_part_shift=(0.3, 0.3), cropping_box_key: str = "cropping_bbox",
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -755,6 +918,8 @@ class RandomCropNearBBox(BaseTransform):
 @TRANSFORMS.register_class
 class CropAndPad(BaseTransform):
     """Crop (negative) or pad (positive) each side by px or percent."""
+
+    geometric = True
 
     def __init__(self, px=None, percent=None, pad_mode: int = cv2.BORDER_CONSTANT,
                  pad_cval=0, pad_cval_mask=0, keep_size: bool = True,
@@ -810,11 +975,27 @@ class CropAndPad(BaseTransform):
         return self._crop_pad(mask, top, right, bottom, left, self.pad_cval_mask,
                               cv2.INTER_NEAREST)
 
+    def apply_to_bboxes(self, bboxes, image_shape, top=0, right=0, bottom=0,
+                        left=0, **params):
+        h, w = image_shape[:2]
+        b = _as_boxes(bboxes).copy()
+        b[:, [0, 2]] += left
+        b[:, [1, 3]] += top
+        new_h = max(h + top + bottom, 1)
+        new_w = max(w + left + right, 1)
+        b[:, [0, 2]] = np.clip(b[:, [0, 2]], 0, new_w)
+        b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, new_h)
+        if self.keep_size and (new_h, new_w) != (h, w):
+            b = _scale_bboxes(b, w / new_w, h / new_h)
+        return b
+
 
 @TRANSFORMS.register_class
 class CropNonEmptyMaskIfExists(BaseTransform):
     """Crop a window containing mask-positive pixels when the mask is
     non-empty; plain random crop otherwise."""
+
+    geometric = True
 
     def __init__(self, height: int, width: int, ignore_values=None,
                  ignore_channels=None, always_apply: bool = False,
@@ -848,11 +1029,17 @@ class CropNonEmptyMaskIfExists(BaseTransform):
     def apply_to_mask(self, mask, y0=0, x0=0, ch=1, cw=1, **params):
         return mask[y0:y0 + ch, x0:x0 + cw]
 
+    def apply_to_bboxes(self, bboxes, image_shape, y0=0, x0=0, ch=1, cw=1, **params):
+        return _shift_clip_bboxes(bboxes, x0, y0, cw, ch)
+
 
 @TRANSFORMS.register_class
 class RandomGridShuffle(BaseTransform):
     """Shuffle the cells of an (n, m) grid; image and mask share the
-    permutation."""
+    permutation. No bbox handler (matching albumentations) — raises in
+    bbox pipelines."""
+
+    geometric = True
 
     def __init__(self, grid=(3, 3), always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -890,6 +1077,8 @@ class SafeRotate(BaseTransform):
     """Rotate without cutting corners: the frame is scaled so the rotated
     image fits, output size preserved."""
 
+    geometric = True
+
     def __init__(self, limit=90, interpolation: int = _INTERP,
                  border_mode: int = cv2.BORDER_REFLECT_101, value=None,
                  mask_value=None, always_apply: bool = False, p: float = 0.5, **_):
@@ -919,11 +1108,23 @@ class SafeRotate(BaseTransform):
     def apply_to_mask(self, mask, angle=0.0, **params):
         return self._rotate(mask, angle, cv2.INTER_NEAREST, self.mask_value)
 
+    def apply_to_bboxes(self, bboxes, image_shape, angle=0.0, **params):
+        h, w = image_shape[:2]
+        rad = np.deg2rad(angle)
+        new_w = abs(w * np.cos(rad)) + abs(h * np.sin(rad))
+        new_h = abs(w * np.sin(rad)) + abs(h * np.cos(rad))
+        scale = min(w / new_w, h / new_h)
+        m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, scale)
+        return _affine_bboxes(bboxes, m, w, h)
+
 
 @TRANSFORMS.register_class
 class PiecewiseAffine(BaseTransform):
     """Local distortions from random displacement of a coarse control grid
-    (smooth remap approximation of the skimage PiecewiseAffine original)."""
+    (smooth remap approximation of the skimage PiecewiseAffine original).
+    No bbox handler (matching albumentations) — raises in bbox pipelines."""
+
+    geometric = True
 
     def __init__(self, scale=(0.03, 0.05), nb_rows: int = 4, nb_cols: int = 4,
                  interpolation: int = _INTERP, mask_interpolation: int = 0,

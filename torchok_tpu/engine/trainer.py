@@ -301,12 +301,19 @@ class Trainer:
 
         # pretrained backbone weights from the local cache, if requested
         if getattr(task, "pretrained_name", None):
-            from torchok_tpu.utils.pretrained import load_pretrained_params
+            from torchok_tpu.utils.pretrained import load_pretrained_variables
             params = dict(variables["params"])
             if "backbone" in params:
-                params["backbone"] = load_pretrained_params(
-                    task.pretrained_name, params["backbone"])
+                scoped = {"params": params["backbone"]}
+                stats = dict(variables.get("batch_stats", {}))
+                if "backbone" in stats:
+                    scoped["batch_stats"] = stats["backbone"]
+                restored = load_pretrained_variables(task.pretrained_name, scoped)
+                params["backbone"] = restored["params"]
                 variables = {**variables, "params": params}
+                if "backbone" in stats:
+                    stats["backbone"] = restored["batch_stats"]
+                    variables["batch_stats"] = stats
 
         variables = task.on_fit_start(variables)
 

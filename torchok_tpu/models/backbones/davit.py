@@ -37,7 +37,7 @@ class ConvPosEnc(nn.Module):
         y = nn.Conv(c, (self.kernel, self.kernel), padding=((pad, pad), (pad, pad)),
                     feature_group_count=c, dtype=self.dtype, name="proj")(feat)
         if self.act:
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)
         return x + y.reshape(n, l, c)
 
 

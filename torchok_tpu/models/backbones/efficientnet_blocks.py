@@ -31,7 +31,7 @@ ACTS = {
     "silu": nn.swish,
     "hard_swish": hard_swish,
     "hswish": hard_swish,
-    "gelu": nn.gelu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
 }
 
 

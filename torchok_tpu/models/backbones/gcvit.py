@@ -34,7 +34,7 @@ class FusedMBConv(nn.Module):
         c = x.shape[-1]
         y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
                     dtype=self.dtype, name="conv_dw")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = SEModule(rd_ratio=0.25, dtype=self.dtype, name="se")(y)
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv_pw")(y)
         return x + y

@@ -7,10 +7,16 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch nn.GELU's default, which the reference's timm
+    models use; flax nn.gelu defaults to the tanh approximation."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     hidden_features: Optional[int] = None
     out_features: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     drop: float = 0.0
     dtype: Any = None
 

@@ -49,11 +49,26 @@ def maybe_load_pretrained(model: Any, name: str) -> None:
 
 def load_pretrained_params(name: str, params: Any) -> Any:
     """Merge locally cached pretrained params (if any) over ``params``."""
+    restored = load_pretrained_variables(name, {"params": params})
+    return restored["params"]
+
+
+def load_pretrained_variables(name: str, variables: Any) -> Any:
+    """Merge cached pretrained variables over the backbone-scoped
+    ``variables`` dict (params + batch_stats). The cache file holds the full
+    variable dict written by ``tools/convert_weights.py``; files that store
+    only a param tree (legacy format) still restore the params collection."""
     path = pretrained_path(name)
     if path is None:
-        return params
+        return variables
     from flax import serialization
     with open(path, "rb") as f:
-        restored = serialization.from_bytes(params, f.read())
+        payload = f.read()
+    try:
+        restored = serialization.from_bytes(variables, payload)
+    except (ValueError, KeyError):
+        # legacy cache: a bare param tree
+        restored = dict(variables)
+        restored["params"] = serialization.from_bytes(variables["params"], payload)
     logger.info("Loaded pretrained weights for %s from %s", name, path)
     return restored

@@ -86,3 +86,20 @@ def test_parse_lr_lambda_allows_math_and_builtins():
 def test_parse_lr_lambda_rejects_unsafe(src):
     with pytest.raises(ValueError):
         parse_lr_lambda(src)
+
+
+@pytest.mark.parametrize("mode", ["triangular", "triangular2", "exp_range"])
+def test_cyclic_lr_matches_torch(mode):
+    import torch
+
+    ours = _policy("CyclicLR", base_lr=0.001, max_lr=0.01,
+                   step_size_up=5, mode=mode, gamma=0.9)
+    # torch CyclicLR needs explicit base_lr/max_lr kwargs; build directly.
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.001)
+    tsched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=0.001, max_lr=0.01, step_size_up=5, mode=mode, gamma=0.9)
+    for e in range(25):
+        assert ours.lr_at(e) == pytest.approx(opt.param_groups[0]["lr"], abs=1e-12), f"{mode} step {e}"
+        opt.step()
+        tsched.step()

@@ -75,6 +75,12 @@ class CrossEntropyLoss:
 
 @LOSSES.register_class
 class NLLLoss:
+    """Negative log-likelihood over log-probabilities (class dim last).
+
+    Reference registers torch.nn.NLLLoss and its deprecated 4D alias
+    NLLLoss2d (torchok/losses/__init__.py:14-15); NLLLoss2d is defined
+    below as a subclass, matching torch where it is the same module.
+    """
     def __init__(self, weight=None, ignore_index: int = -100, reduction: str = "mean"):
         self.weight = _as_array(weight)
         self.ignore_index = ignore_index
@@ -95,6 +101,11 @@ class NLLLoss:
                 denom = jnp.maximum(jnp.sum(mask), 1)
             return jnp.sum(loss) / denom
         return _reduce(loss, self.reduction)
+
+
+@LOSSES.register_class
+class NLLLoss2d(NLLLoss):
+    """Deprecated torch alias of NLLLoss for 4D inputs; identical math."""
 
 
 @LOSSES.register_class

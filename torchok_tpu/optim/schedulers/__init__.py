@@ -217,6 +217,53 @@ class CosineAnnealingWarmRestarts(BaseLRScheduler):
             (1 + math.cos(math.pi * t_cur / t_i)) / 2
 
 
+@SCHEDULERS.register_class(name="CyclicLR")
+class CyclicLR(BaseLRScheduler):
+    """torch.optim.lr_scheduler.CyclicLR (reference registers it at
+    torchok/optim/schedulers/__init__.py:21). Triangular policies between
+    base_lr and max_lr; ``base_lr`` falls back to the optimizer lr."""
+
+    def __init__(self, base_lr: Optional[float] = None, max_lr: float = 0.01,
+                 step_size_up: int = 2000, step_size_down: Optional[int] = None,
+                 mode: str = "triangular", gamma: float = 1.0,
+                 scale_fn=None, scale_mode: str = "cycle", **_):
+        super().__init__()
+        self.cycle_base_lr = base_lr
+        self.max_lr = max_lr
+        self.step_size_up = step_size_up
+        self.step_size_down = step_size_down if step_size_down is not None \
+            else step_size_up
+        self.mode = mode
+        self.gamma = gamma
+        if isinstance(scale_fn, str):
+            scale_fn = parse_lr_lambda(scale_fn)
+        self.scale_fn = scale_fn
+        self.scale_mode = scale_mode
+
+    def attach(self, base_lr: float) -> None:
+        super().attach(base_lr)
+        if self.cycle_base_lr is None:
+            self.cycle_base_lr = base_lr
+
+    def lr_at(self, epoch: int) -> float:
+        total = self.step_size_up + self.step_size_down
+        cycle = math.floor(1 + epoch / total)
+        pos = epoch - (cycle - 1) * total
+        if pos <= self.step_size_up:
+            scale_factor = pos / self.step_size_up
+        else:
+            scale_factor = (total - pos) / self.step_size_down
+        base_height = (self.max_lr - self.cycle_base_lr) * scale_factor
+        if self.scale_fn is not None:
+            x = cycle if self.scale_mode == "cycle" else epoch
+            base_height *= self.scale_fn(x)
+        elif self.mode == "triangular2":
+            base_height *= 1.0 / (2.0 ** (cycle - 1))
+        elif self.mode == "exp_range":
+            base_height *= self.gamma ** epoch
+        return self.cycle_base_lr + base_height
+
+
 @SCHEDULERS.register_class(name="OneCycleLR")
 class OneCycleLR(BaseLRScheduler):
     def __init__(self, max_lr: float, total_steps: int, pct_start: float = 0.3,

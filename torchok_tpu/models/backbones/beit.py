@@ -145,6 +145,8 @@ class Beit(BaseBackbone):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # nn.remat per block (reference surface: timm grad_checkpointing flag)
+    grad_checkpointing: bool = False
     dtype: Any = None
 
     @property
@@ -182,8 +184,11 @@ class Beit(BaseBackbone):
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
+        # static_argnums: self=0, x=1, shared_bias=2 (array/None), train=3
+        block_cls = nn.remat(BeitBlock, static_argnums=(3,)) \
+            if self.grad_checkpointing else BeitBlock
         for i in range(self.depth):
-            x = BeitBlock(self.num_heads, self.mlp_ratio, self.qkv_bias,
+            x = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
                           self.init_values, self.use_rel_pos_bias, (gh, gw),
                           self.drop_rate, self.attn_drop_rate, dpr[i],
                           dtype=self.dtype, name=f"blocks_{i}")(x, shared_bias, train)

@@ -156,6 +156,8 @@ class DaViT(BaseBackbone):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path_rate: float = 0.1
+    # nn.remat per dual block (reference surface: timm grad_checkpointing)
+    grad_checkpointing: bool = False
     dtype: Any = None
 
     @property
@@ -186,14 +188,20 @@ class DaViT(BaseBackbone):
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"patch_norm_{stage}")(x)
             tokens = x.reshape(n, h * w, c)
+            # static_argnums: self=0, x=1, hw=2 (static tuple), train=3
+            if self.grad_checkpointing:
+                spatial_cls = nn.remat(SpatialBlock, static_argnums=(2, 3))
+                channel_cls = nn.remat(ChannelBlock, static_argnums=(2, 3))
+            else:
+                spatial_cls, channel_cls = SpatialBlock, ChannelBlock
             for blk in range(depth):
-                tokens = SpatialBlock(heads, self.window_size, self.mlp_ratio,
-                                      self.qkv_bias, dpr[block_idx], dtype=self.dtype,
-                                      name=f"stage_{stage}_spatial_{blk}")(tokens, (h, w), train)
+                tokens = spatial_cls(heads, self.window_size, self.mlp_ratio,
+                                     self.qkv_bias, dpr[block_idx], dtype=self.dtype,
+                                     name=f"stage_{stage}_spatial_{blk}")(tokens, (h, w), train)
                 block_idx += 1
-                tokens = ChannelBlock(heads, self.mlp_ratio, self.qkv_bias,
-                                      dpr[block_idx], dtype=self.dtype,
-                                      name=f"stage_{stage}_channel_{blk}")(tokens, (h, w), train)
+                tokens = channel_cls(heads, self.mlp_ratio, self.qkv_bias,
+                                     dpr[block_idx], dtype=self.dtype,
+                                     name=f"stage_{stage}_channel_{blk}")(tokens, (h, w), train)
                 block_idx += 1
             x = tokens.reshape(n, h, w, c)
             feats.append(x)

@@ -152,6 +152,8 @@ class GlobalContextVit(BaseBackbone):
     mlp_ratio: float = 3.0
     layer_scale: Optional[float] = None
     drop_path_rate: float = 0.0
+    # nn.remat per block (reference surface: timm grad_checkpointing flag)
+    grad_checkpointing: bool = False
     dtype: Any = None
 
     @property
@@ -193,8 +195,11 @@ class GlobalContextVit(BaseBackbone):
                 qg = jnp.pad(qg, [(0, 0), (0, ws - qg.shape[1]),
                                   (0, ws - qg.shape[2]), (0, 0)])
             qg = qg.reshape(n, ws * ws, c)
+            # static_argnums: self=0, x=1, q_global=2 (array), train=3
+            block_cls = nn.remat(GCViTBlock, static_argnums=(3,)) \
+                if self.grad_checkpointing else GCViTBlock
             for blk in range(depth):
-                x = GCViTBlock(heads, ws, use_global=blk % 2 == 1,
+                x = block_cls(heads, ws, use_global=blk % 2 == 1,
                                mlp_ratio=self.mlp_ratio,
                                layer_scale=self.layer_scale,
                                drop_path=dpr[block_idx], dtype=self.dtype,

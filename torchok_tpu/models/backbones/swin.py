@@ -231,6 +231,11 @@ class SwinTransformerV2(BaseBackbone):
     ape: bool = False
     patch_norm: bool = True
     pretrained_window_sizes: Tuple[int, ...] = (0, 0, 0, 0)
+    # Per-block activation rematerialization (reference swin.py:77-80 uses
+    # torch.utils.checkpoint per block behind `grad_checkpointing`; here the
+    # same flag wraps each SwinBlock in nn.remat so XLA recomputes block
+    # activations on the backward pass instead of keeping them in HBM).
+    grad_checkpointing: bool = False
     dtype: Any = None
 
     @property
@@ -270,10 +275,13 @@ class SwinTransformerV2(BaseBackbone):
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         features = []
         block_idx = 0
+        # static_argnums: self=0, x=1, hw=2 (static tuple), train=3
+        block_cls = nn.remat(SwinBlock, static_argnums=(2, 3)) \
+            if self.grad_checkpointing else SwinBlock
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             dim = self.encoder_channels[stage]
             for blk in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, num_heads=heads, window_size=self.window_size,
                     shift_size=0 if blk % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,

@@ -116,6 +116,8 @@ class VisionTransformer(BaseBackbone):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # nn.remat per block (reference surface: timm grad_checkpointing flag)
+    grad_checkpointing: bool = False
     dtype: Any = None
 
     @property
@@ -163,10 +165,12 @@ class VisionTransformer(BaseBackbone):
     def _blocks(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
+        block_cls = nn.remat(Block, static_argnums=(2,)) \
+            if self.grad_checkpointing else Block
         for i in range(self.depth):
-            x = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
-                      self.init_values, self.drop_rate, self.attn_drop_rate,
-                      dpr[i], dtype=self.dtype, name=f"blocks_{i}")(x, train)
+            x = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
+                          self.init_values, self.drop_rate, self.attn_drop_rate,
+                          dpr[i], dtype=self.dtype, name=f"blocks_{i}")(x, train)
         return x
 
     @nn.compact

@@ -30,6 +30,54 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-9)
 
 
+def _match_image(boxes: np.ndarray, scores: np.ndarray, gts: np.ndarray,
+                 iou_thr: float, gt_ignore: Optional[np.ndarray] = None,
+                 det_outside: Optional[np.ndarray] = None):
+    """Greedy score-ordered matching with pycocotools semantics
+    (cocoeval.py evaluateImg): each detection takes the highest-IoU
+    *unmatched* GT above threshold, preferring non-ignored GT; a detection
+    may fall back to an ignored GT, in which case it is itself ignored.
+    Unmatched detections outside the area range are ignored rather than FP.
+
+    Returns (scores_kept, tp_kept) with ignored detections removed.
+    """
+    n_d, n_g = len(boxes), len(gts)
+    if gt_ignore is None:
+        gt_ignore = np.zeros(n_g, bool)
+    if det_outside is None:
+        det_outside = np.zeros(n_d, bool)
+    order = np.argsort(-scores, kind="stable")
+    ious = _iou_matrix(boxes, gts)
+    # non-ignored GT first in the scan order (pycocotools sorts by _ignore)
+    g_order = np.argsort(gt_ignore, kind="stable")
+    matched = np.zeros(n_g, bool)
+    tp = np.zeros(n_d, np.float32)
+    det_ignored = np.zeros(n_d, bool)
+    for d in order:
+        best_iou = iou_thr - 1e-10
+        m = -1
+        for g in g_order:
+            if matched[g]:
+                continue
+            # once matched to a non-ignored GT, never trade for an ignored one
+            if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                break
+            if ious[d, g] < best_iou:
+                continue
+            best_iou = ious[d, g]
+            m = g
+        if m == -1:
+            det_ignored[d] = det_outside[d]
+            continue
+        matched[m] = True
+        if gt_ignore[m]:
+            det_ignored[d] = True
+        else:
+            tp[d] = 1.0
+    keep = ~det_ignored
+    return scores[keep], tp[keep]
+
+
 def _average_precision(recalls: np.ndarray, precisions: np.ndarray,
                        mode: str = "area") -> float:
     if mode == "area":
@@ -107,18 +155,8 @@ class MMDetectionMAP(Metric):
                 boxes, scores = pb[p_mask], ps[p_mask]
                 gts = gb[g_mask]
                 n_gt += len(gts)
-                order = np.argsort(-scores)
-                boxes, scores = boxes[order], scores[order]
-                matched = np.zeros(len(gts), bool)
-                tp = np.zeros(len(boxes), np.float32)
-                ious = _iou_matrix(boxes, gts)
-                for d in range(len(boxes)):
-                    if len(gts):
-                        j = int(np.argmax(ious[d]))
-                        if ious[d, j] >= self.iou_thr and not matched[j]:
-                            matched[j] = True
-                            tp[d] = 1.0
-                scores_all.append(scores)
+                s_kept, tp = _match_image(boxes, scores, gts, self.iou_thr)
+                scores_all.append(s_kept)
                 tp_all.append(tp)
             if n_gt == 0:
                 continue
@@ -164,27 +202,18 @@ class CocoEvalMAP(MMDetectionMAP):
                 gts = gb[g_mask]
                 g_area = np.clip(gts[:, 2] - gts[:, 0], 0, None) * \
                     np.clip(gts[:, 3] - gts[:, 1], 0, None)
-                in_rng = (g_area >= lo) & (g_area < hi)
-                gts = gts[in_rng]
-                n_gt += len(gts)
+                # out-of-area GT are IGNORED, not removed (pycocotools):
+                # matching one neither scores a TP nor produces an FP.
+                gt_ignore = ~((g_area >= lo) & (g_area < hi))
+                n_gt += int((~gt_ignore).sum())
                 p_mask = pl == cls
                 boxes, scores = pb[p_mask], ps[p_mask]
                 b_area = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * \
                     np.clip(boxes[:, 3] - boxes[:, 1], 0, None)
-                keep = (b_area >= lo) & (b_area < hi)
-                boxes, scores = boxes[keep], scores[keep]
-                order = np.argsort(-scores)
-                boxes, scores = boxes[order], scores[order]
-                matched = np.zeros(len(gts), bool)
-                tp = np.zeros(len(boxes), np.float32)
-                ious = _iou_matrix(boxes, gts)
-                for d in range(len(boxes)):
-                    if len(gts):
-                        j = int(np.argmax(ious[d]))
-                        if ious[d, j] >= iou_thr and not matched[j]:
-                            matched[j] = True
-                            tp[d] = 1.0
-                scores_all.append(scores)
+                det_outside = ~((b_area >= lo) & (b_area < hi))
+                s_kept, tp = _match_image(boxes, scores, gts, iou_thr,
+                                          gt_ignore, det_outside)
+                scores_all.append(s_kept)
                 tp_all.append(tp)
             if n_gt == 0:
                 continue

@@ -96,20 +96,126 @@ class TensorBoardLogger(BaseLogger):
         self.writer.close()
 
 
-def _register_fallback(name: str):
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+@LOGGERS.register_class
+class MLFlowLogger(BaseLogger):
+    """MLflow tracking over the file-store protocol (pure filesystem, no
+    mlflow client). Reference: torchok/constructor/logger.py registers
+    Lightning's MLFlowLogger; remote ``http(s)`` tracking URIs need a client
+    and network and raise here unless ``allow_fallback: true`` downgrades
+    them to a local store under ``log_dir``.
+
+    The store root is ``tracking_uri`` (``file:`` URI or plain path) when
+    given, else ``<log_dir>/mlruns`` (mirrors the reference default
+    ``save_dir='./mlruns'``).
+    """
+
+    def __init__(self, log_dir: str, experiment_name: str = "default",
+                 timestamp: Optional[str] = None, tracking_uri: Optional[str] = None,
+                 run_name: Optional[str] = None, tags: Optional[Dict] = None,
+                 prefix: str = "", allow_fallback: bool = False,
+                 artifact_location: Optional[str] = None, run_id: Optional[str] = None,
+                 save_dir: Optional[str] = None, **params):
+        super().__init__(log_dir, experiment_name, timestamp, **params)
+        from torchok_tpu.utils.mlflow_store import MLFlowFileStore
+
+        if tracking_uri and tracking_uri.startswith(("http://", "https://")):
+            if not allow_fallback:
+                raise ValueError(
+                    f"{type(self).__name__}: remote tracking_uri "
+                    f"{tracking_uri!r} needs the mlflow client and network "
+                    "access, which this environment does not have. Point "
+                    "tracking_uri at a local path (or file: URI), or set "
+                    "allow_fallback: true to track into a local file store.")
+            logger.warning("%s: remote tracking_uri %r unavailable; tracking "
+                           "into local file store instead", type(self).__name__,
+                           tracking_uri)
+            tracking_uri = None
+        if tracking_uri:
+            root = tracking_uri[len("file:"):] if tracking_uri.startswith("file:") \
+                else tracking_uri
+        else:
+            root = str(Path(save_dir) if save_dir else Path(log_dir) / "mlruns")
+        self.prefix = prefix
+        tags = dict(tags) if tags else None
+        self.store = MLFlowFileStore(root, experiment_name=experiment_name,
+                                     run_name=run_name, tags=tags, run_id=run_id)
+
+    @property
+    def run_id(self) -> str:
+        return self.store.run_id
+
+    def log_hyperparams(self, hparams) -> None:
+        super().log_hyperparams(hparams)  # keep the JSON dump alongside
+        try:
+            data = hparams.to_dict() if isinstance(hparams, ConfigNode) else dict(hparams)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Failed to flatten hparams for MLflow: %s", e)
+            return
+        for k, v in _flatten(data).items():
+            self.store.log_param(k, v)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int = 0) -> None:
+        for k, v in metrics.items():
+            try:
+                self.store.log_metric(self.prefix + k, float(v), step=step)
+            except (TypeError, ValueError):
+                pass
+
+    def finalize(self, status: str) -> None:
+        self.store.finalize(status.upper() if isinstance(status, str) else "FINISHED")
+
+
+@LOGGERS.register_class
+class MLFlowLoggerX(MLFlowLogger):
+    """MLFlowLogger that also uploads checkpoint/export artifacts at finalize
+    (reference MLFlowLoggerX, torchok/constructor/logger.py:111-168 — there
+    ``*.ckpt``/``*.onnx``; here the Orbax ``.ckpt`` dirs and ``.stablehlo``
+    exports the TPU engine writes, plus any ``.onnx`` files)."""
+
+    ARTIFACT_GLOBS = ("**/*.ckpt", "**/*.onnx", "**/*.stablehlo")
+
+    def finalize(self, status: str) -> None:
+        for pattern in self.ARTIFACT_GLOBS:
+            for path in sorted(self.save_dir.glob(pattern)):
+                try:
+                    self.store.log_artifact(str(path))
+                except OSError as e:
+                    logger.warning("artifact upload failed for %s: %s", path, e)
+        super().finalize(status)
+
+
+def _register_fallback(name: str, needs: str):
     @LOGGERS.register_class(name=name)
     class _Fallback(CSVLogger):  # noqa: N801
-        def __init__(self, *args, **kwargs):
+        def __init__(self, *args, allow_fallback: bool = False, **kwargs):
+            if not allow_fallback:
+                raise ValueError(
+                    f"{name} needs {needs}, which this environment does not "
+                    "have. Set `allow_fallback: true` in the logger params to "
+                    "degrade to CSVLogger explicitly, or use MLFlowLogger[X] "
+                    "(local file store), TensorBoardLogger or CSVLogger.")
             logger.warning("%s backend is unavailable in this environment; "
-                           "falling back to CSVLogger", name)
+                           "falling back to CSVLogger (allow_fallback)", name)
             kwargs.pop("secrets_path", None)
             super().__init__(*args, **kwargs)
     _Fallback.__name__ = name
     return _Fallback
 
 
-for _name in ("MLFlowLogger", "MLFlowLoggerX", "WandbLogger", "NeptuneLogger"):
-    _register_fallback(_name)
+for _name, _needs in (("WandbLogger", "the wandb client and network access"),
+                      ("NeptuneLogger", "the neptune client and network access")):
+    _register_fallback(_name, _needs)
 
 
 def create_logger(logger_params) -> Optional[BaseLogger]:

@@ -371,3 +371,113 @@ def test_collate_bools_stay_bool():
     from torchok_tpu.data.loader import default_collate
     batch = default_collate([{"flag": True}, {"flag": False}])
     assert batch["flag"].dtype == np.bool_
+
+
+def test_weights_only_checkpoint_resume(tmp_path):
+    """save_weights_only=True writes opt_state=None; fit(ckpt_path=...) must
+    load the weights and reinitialize the optimizer instead of failing on an
+    Orbax tree-structure mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    ckpt_dir = str(tmp_path / "ckpts_w")
+    config = make_config(tmp_path, max_epochs=1, extra_callbacks=[
+        {"name": "ModelCheckpoint",
+         "params": {"dirpath": ckpt_dir, "save_last": True,
+                    "save_weights_only": True}},
+    ])
+    task, trainer = build(config)
+    trainer.fit(task)
+    last = Path(ckpt_dir) / "last.ckpt"
+    assert last.exists()
+    trained = jax.device_get(trainer.state.params)
+
+    config2 = make_config(tmp_path, max_epochs=2, extra_callbacks=[])
+    task2, trainer2 = build(config2)
+    trainer2.fit(task2, ckpt_path=str(last))
+    # weights were actually loaded: epoch-0 state of run 2 equals run 1's
+    # final params is unverifiable after an extra epoch, but the restore
+    # itself must not have silently re-randomized; check restore directly.
+    from torchok_tpu.callbacks.model_checkpoint import restore_train_state
+    task3, trainer3 = build(make_config(tmp_path, max_epochs=1))
+    trainer3._setup_state(task3)
+    restored, meta = restore_train_state(str(last), trainer3.state)
+    for a, b in zip(jax.tree_util.tree_leaves(trained),
+                    jax.tree_util.tree_leaves(jax.device_get(restored.params))):
+        assert jnp.allclose(a, b), "weights-only restore changed params"
+    assert restored.opt_state is not None
+
+
+def _two_train_loader_config(tmp_path, mode, n1=96, n2=32, max_epochs=1):
+    config = make_config(tmp_path, max_epochs=max_epochs,
+                         trainer_extra={"multiple_trainloader_mode": mode,
+                                        "num_sanity_val_steps": 0})
+    import copy
+    first = config.data.TRAIN[0]
+    second = copy.deepcopy(first.to_dict())
+    first.dataset.params.num_samples = n1
+    second["dataset"]["params"]["num_samples"] = n2
+    config.data.TRAIN.append(type(first)(second))
+    return config
+
+
+def test_multiple_train_loaders_sequential(tmp_path):
+    """Two TRAIN loaders, 'sequential': each contributes every batch once —
+    96/32 + 32/32 = 3 + 1 = 4 optimizer steps per epoch (reference surface:
+    torchok tasks/base.py:60-68 returns a list of train dataloaders)."""
+    config = _two_train_loader_config(tmp_path, "sequential")
+    task, trainer = build(config)
+    trainer.fit(task)
+    assert trainer.global_step == 4
+
+
+def test_multiple_train_loaders_max_size_cycle(tmp_path):
+    """'max_size_cycle' (Lightning default): shorter loader restarts; steps
+    per epoch = n_loaders * max(len) = 2 * 3 = 6."""
+    config = _two_train_loader_config(tmp_path, "max_size_cycle")
+    task, trainer = build(config)
+    trainer.fit(task)
+    assert trainer.global_step == 6
+
+
+def test_multi_optimizer_groups(tmp_path):
+    """Two optimization groups (reference constructor.py:37-83): each batch
+    applies both optimizers sequentially (Lightning automatic optimization),
+    each group's scheduler steps independently."""
+    optimization = [
+        {"optimizer": {"name": "SGD", "params": {"lr": 0.1}},
+         "scheduler": {"name": "ExponentialLR", "params": {"gamma": 0.5}}},
+        {"optimizer": {"name": "Adam", "params": {"lr": 0.001}},
+         "scheduler": {"name": "ExponentialLR", "params": {"gamma": 0.9}}},
+    ]
+    config = make_config(tmp_path, max_epochs=2, optimization=optimization,
+                         trainer_extra={"num_sanity_val_steps": 0})
+    task, trainer = build(config)
+    trainer.fit(task)
+    # 128 samples / bs 32 = 4 batches per epoch; one engine step per batch
+    assert trainer.global_step == 8
+    assert len(trainer.bundles) == 2 and len(trainer.txs) == 2
+    assert isinstance(trainer.state.opt_state, tuple)
+    # schedulers advanced independently: lr factors differ per bundle
+    assert trainer.bundles[0].scheduler.current_lr == pytest.approx(0.1 * 0.5 ** 2)
+    assert trainer.bundles[1].scheduler.current_lr == pytest.approx(0.001 * 0.9 ** 2)
+    # the injected lr leaves in each bundle's opt_state reflect the factors
+    import jax
+    leaves = jax.tree_util.tree_flatten(trainer.state.opt_state)[0]
+    lr0 = leaves[trainer._lr_positions[0][0]]
+    lr1 = leaves[trainer._lr_positions[1][0]]
+    assert float(lr0) == pytest.approx(0.1 * 0.25, rel=1e-5)
+    assert float(lr1) == pytest.approx(0.001 * 0.81, rel=1e-5)
+
+
+def test_multi_optimizer_trains(tmp_path):
+    """Loss decreases with two groups — both updates actually apply."""
+    optimization = [
+        {"optimizer": {"name": "SGD", "params": {"lr": 0.01}}},
+        {"optimizer": {"name": "SGD", "params": {"lr": 0.01}}},
+    ]
+    config = make_config(tmp_path, max_epochs=2, optimization=optimization,
+                         trainer_extra={"num_sanity_val_steps": 0})
+    task, trainer = build(config)
+    trainer.fit(task)
+    assert trainer.callback_metrics["train/loss"] < 2.5

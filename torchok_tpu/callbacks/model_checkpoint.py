@@ -34,14 +34,49 @@ def save_train_state(path: str, state, meta: Optional[Dict] = None) -> None:
 
 
 def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
+    """Restore a TrainState saved by :func:`save_train_state`.
+
+    Weights-only checkpoints (``save_weights_only=True``) were written with
+    ``opt_state=None``; restoring them against a full template would fail on
+    a tree-structure mismatch, so the optimizer state is detected as absent
+    and the template's freshly initialized ``opt_state`` is kept instead.
+    """
     path = Path(path).absolute()
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path, item=jax.device_get(target_state))
+    template = jax.device_get(target_state)
+    saved_structure = ckptr.metadata(path)
+    weights_only = (
+        hasattr(template, "opt_state")
+        and getattr(template, "opt_state", None) is not None
+        and _tree_lacks_opt_state(saved_structure)
+    )
+    if weights_only:
+        restored = ckptr.restore(path, item=template.replace(opt_state=None))
+        restored = restored.replace(opt_state=target_state.opt_state)
+        logger.info("restored weights-only checkpoint from %s; optimizer "
+                    "state freshly initialized", path)
+    else:
+        restored = ckptr.restore(path, item=template)
     meta = {}
     meta_path = path / "torchok_meta.json"
     if meta_path.exists():
         meta = json.loads(meta_path.read_text())
     return restored, meta
+
+
+def _tree_lacks_opt_state(saved_metadata) -> bool:
+    """True when the on-disk checkpoint has no opt_state subtree."""
+    tree = saved_metadata
+    for attr in ("item_metadata", "tree"):  # StepMetadata -> TreeMetadata -> dict
+        tree = getattr(tree, attr, tree)
+    try:
+        opt = tree["opt_state"]
+    except (KeyError, TypeError, IndexError):
+        return True
+    if opt is None:
+        return True
+    leaves = jax.tree_util.tree_leaves(opt)
+    return len(leaves) == 0
 
 
 @CALLBACKS.register_class

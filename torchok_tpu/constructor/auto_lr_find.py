@@ -31,7 +31,7 @@ def find_lr(trainer, task, min_lr: float = 1e-8, max_lr: float = 1.0,
     lrs = np.exp(np.linspace(math.log(min_lr), math.log(max_lr), num_training))
     losses = []
     it = iter(loader)
-    base = trainer._lr_bases[0] if trainer._lr_bases else 1.0
+    base = trainer._lr_bases[0][0] if trainer._lr_bases and trainer._lr_bases[0] else 1.0
     for i, lr in enumerate(lrs):
         try:
             batch = next(it)

@@ -189,6 +189,9 @@ class TrainerParams:
     steps_per_execution: int = 1
     # TPU-build extension: tensor-parallel factor (head class-dim sharding)
     model_parallel_size: int = 1
+    # Lightning parity: how several TRAIN dataloaders are combined
+    # ("max_size_cycle" or "sequential"); see CombinedTrainLoader
+    multiple_trainloader_mode: str = "max_size_cycle"
 
 
 @dataclass

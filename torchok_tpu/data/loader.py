@@ -199,3 +199,76 @@ class DataLoader:
                     break
             t.join(timeout=5)
             pool.shutdown(wait=False)
+
+
+class CombinedTrainLoader:
+    """Round-robin interleaving of several TRAIN loaders.
+
+    The reference returns a list of train dataloaders (torchok
+    tasks/base.py:60-68) and leans on Lightning's CombinedLoader. Lightning's
+    default delivers a *list* of batches per step, which no reference task's
+    ``forward_with_gt`` can consume and which would force one jitted step
+    over a heterogeneous pytree. Here each step yields ONE loader's dict
+    batch (stable pytree per loader -> at most one XLA executable each):
+
+    * ``max_size_cycle`` (default, Lightning's default name): shorter loaders
+      restart; epoch length = n_loaders * max(len(loader)).
+    * ``sequential``: every loader contributes each batch exactly once;
+      epoch length = sum(len(loader)).
+    """
+
+    def __init__(self, loaders: Sequence, mode: str = "max_size_cycle"):
+        if mode not in ("max_size_cycle", "sequential"):
+            raise ValueError(f"unknown multiple_trainloader_mode: {mode!r}")
+        if not loaders:
+            raise ValueError("CombinedTrainLoader needs at least one loader")
+        self.loaders = list(loaders)
+        self.mode = mode
+        self.epoch = 0
+
+    @property
+    def batch_size(self) -> int:
+        # used by the engine only for throughput accounting; heterogeneous
+        # batch sizes make images_per_sec approximate
+        return self.loaders[0].batch_size
+
+    @property
+    def dataset(self):
+        return self.loaders[0].dataset
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        for ld in self.loaders:
+            ld.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        if self.mode == "sequential":
+            return sum(len(ld) for ld in self.loaders)
+        return len(self.loaders) * max(len(ld) for ld in self.loaders)
+
+    def __iter__(self) -> Iterator[Any]:
+        iters = [iter(ld) for ld in self.loaders]
+        if self.mode == "sequential":
+            exhausted = [False] * len(iters)
+            while not all(exhausted):
+                for i, it in enumerate(iters):
+                    if exhausted[i]:
+                        continue
+                    try:
+                        yield next(it)
+                    except StopIteration:
+                        exhausted[i] = True
+            return
+        # max_size_cycle: stop when the longest loader finishes a pass;
+        # shorter loaders restart in place
+        target = max(len(ld) for ld in self.loaders)
+        served = [0] * len(iters)
+        while max(served) < target:
+            for i, it in enumerate(iters):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    iters[i] = iter(self.loaders[i])
+                    batch = next(iters[i])
+                served[i] += 1
+                yield batch

@@ -68,9 +68,13 @@ class Trainer:
         self.steps_per_execution = max(1, tp.get("steps_per_execution") or 1)
         self.gradient_clip_val = tp.get("gradient_clip_val")
         self.fast_dev_run = tp.get("fast_dev_run", False)
-        self.num_sanity_val_steps = tp.get("num_sanity_val_steps") or 0
+        _sanity = tp.get("num_sanity_val_steps")
+        # Lightning default: 2 sanity batches before training (explicit 0 disables)
+        self.num_sanity_val_steps = 2 if _sanity is None else int(_sanity)
         self.profiler = tp.get("profiler")
         self.strategy = tp.get("strategy", "auto")
+        self.multiple_trainloader_mode = tp.get("multiple_trainloader_mode",
+                                                "max_size_cycle")
         self.enable_progress_bar = tp.get("enable_progress_bar")
         # reference trainer.detect_anomaly (torch autograd anomaly mode) maps
         # to XLA nan-checking on every jitted computation (SURVEY.md §5)
@@ -94,8 +98,8 @@ class Trainer:
         self.global_step = 0
         self.callback_metrics: Dict[str, float] = {}
         self.should_stop = False
-        self._lr_positions: List[int] = []
-        self._lr_bases: List[float] = []
+        self._lr_positions: List[List[int]] = [[]]
+        self._lr_bases: List[List[float]] = [[]]
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -180,46 +184,63 @@ class Trainer:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
         return tx
 
-    def _snapshot_lr_positions(self, opt_state) -> None:
+    def _snapshot_lr_positions(self, opt_state, n_bundles: int = 1) -> None:
+        """Record the flat-leaf positions of each bundle's injected
+        ``learning_rate`` hyperparameter. With several optimization groups
+        ``opt_state`` is a tuple and the first path key is the bundle index."""
         leaves_with_path = jax.tree_util.tree_flatten_with_path(opt_state)[0]
-        self._lr_positions, self._lr_bases = [], []
+        n = max(n_bundles, 1)
+        self._lr_positions = [[] for _ in range(n)]
+        self._lr_bases = [[] for _ in range(n)]
         for i, (path, leaf) in enumerate(leaves_with_path):
             keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
             if "learning_rate" in keys:
-                self._lr_positions.append(i)
-                self._lr_bases.append(float(np.asarray(leaf)))
+                b = path[0].idx if n > 1 else 0
+                self._lr_positions[b].append(i)
+                self._lr_bases[b].append(float(np.asarray(leaf)))
 
-    def _apply_lr_factor(self, opt_state, factor: float):
+    def _apply_lr_factor(self, opt_state, factor: float, bundle_idx: int = 0):
         leaves, treedef = jax.tree_util.tree_flatten(opt_state)
-        for pos, base in zip(self._lr_positions, self._lr_bases):
+        for pos, base in zip(self._lr_positions[bundle_idx],
+                             self._lr_bases[bundle_idx]):
             leaves[pos] = jnp.asarray(base * factor, jnp.float32)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def current_lr(self) -> float:
         if self.bundles and self.bundles[0].scheduler is not None:
             return self.bundles[0].scheduler.current_lr
-        return self._lr_bases[0] if self._lr_bases else 0.0
+        if self._lr_bases and self._lr_bases[0]:
+            return self._lr_bases[0][0]
+        return 0.0
 
     # ------------------------------------------------------------------
     # step functions
     # ------------------------------------------------------------------
-    def _make_train_step(self, task, tx):
+    def _make_train_step(self, task, txs):
+        """One jitted optimizer step. With several optimization groups
+        (reference constructor.py:37-83 + Lightning automatic optimization)
+        the loss is recomputed and applied once per group, sequentially, all
+        inside the same jitted step — N backwards per batch, exactly like
+        Lightning calling training_step once per optimizer."""
         compute_loss = task.compute_loss
         model = task.model
         dropout_key = jax.random.PRNGKey(self.seed + 7)
+        if not isinstance(txs, (list, tuple)):
+            txs = [txs]
+        single = len(txs) == 1
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch):
             rngs = {"dropout": jax.random.fold_in(dropout_key, state.step)}
 
-            def loss_fn(params):
+            def loss_fn(params, batch_stats, buffers):
                 variables = {"params": params}
                 mutable = []
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
                     mutable.append("batch_stats")
-                if state.buffers:
-                    variables["buffers"] = state.buffers
+                if buffers:
+                    variables["buffers"] = buffers
                     mutable.append("buffers")
                 if mutable:
                     outputs, new_vars = model.apply(variables, batch, train=True,
@@ -230,22 +251,36 @@ class Trainer:
                 total, tagged = compute_loss(outputs)
                 return total, (outputs, new_vars, tagged)
 
-            (loss, (outputs, new_vars, tagged)), grads = \
-                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, state.grad_mask)
-            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_bs = new_vars.get("batch_stats", state.batch_stats)
-            if state.batch_stats:
-                # bn_mask freezes running-stat updates for frozen norm layers
-                new_bs = jax.tree_util.tree_map(
-                    lambda old, new, m: old * (1.0 - m) + new * m,
-                    state.batch_stats, new_bs, state.bn_mask)
+            params = state.params
+            bs, buffers = state.batch_stats, state.buffers
+            opt_states = (state.opt_state,) if single else state.opt_state
+            new_opt_states = []
+            first = None
+            for i, tx in enumerate(txs):
+                (loss, (outputs, new_vars, tagged)), grads = \
+                    jax.value_and_grad(loss_fn, has_aux=True)(params, bs, buffers)
+                grads = jax.tree_util.tree_map(lambda g, m: g * m,
+                                               grads, state.grad_mask)
+                updates, new_opt = tx.update(grads, opt_states[i], params)
+                params = optax.apply_updates(params, updates)
+                new_opt_states.append(new_opt)
+                new_bs = new_vars.get("batch_stats", bs)
+                if bs:
+                    # bn_mask freezes running-stat updates for frozen norm layers
+                    new_bs = jax.tree_util.tree_map(
+                        lambda old, new, m: old * (1.0 - m) + new * m,
+                        bs, new_bs, state.bn_mask)
+                bs = new_bs
+                buffers = new_vars.get("buffers", buffers)
+                if i == 0:
+                    first = (outputs, loss, tagged)
+
+            outputs, loss, tagged = first
             new_state = state.replace(
-                params=new_params,
-                batch_stats=new_bs,
-                buffers=new_vars.get("buffers", state.buffers),
-                opt_state=new_opt_state,
+                params=params,
+                batch_stats=bs,
+                buffers=buffers,
+                opt_state=new_opt_states[0] if single else tuple(new_opt_states),
                 step=state.step + 1,
             )
             losses = {"loss": loss, **tagged}
@@ -323,16 +358,17 @@ class Trainer:
 
         self.bundles = task.constructor.configure_optimizers(
             params, task.no_weight_decay()) if task.hparams.get("optimization") else []
-        if len(self.bundles) > 1:
-            logger.warning("Multiple optimization groups configured; using the first "
-                           "(multi-optimizer alternation is not yet supported)")
         if self.bundles:
-            self.tx = self._build_tx(self.bundles[0])
-            opt_state = self.tx.init(params)
-            self._snapshot_lr_positions(opt_state)
+            self.txs = [self._build_tx(b) for b in self.bundles]
+            if len(self.txs) == 1:
+                opt_state = self.txs[0].init(params)
+            else:
+                opt_state = tuple(tx.init(params) for tx in self.txs)
+            self._snapshot_lr_positions(opt_state, len(self.txs))
         else:
-            self.tx = optax.identity()
-            opt_state = self.tx.init(params)
+            self.txs = [optax.identity()]
+            opt_state = self.txs[0].init(params)
+        self.tx = self.txs[0]  # single-bundle alias (bench/auto_lr_find/graft)
 
         state = TrainState(
             params=params, batch_stats=batch_stats, buffers=buffers,
@@ -376,15 +412,27 @@ class Trainer:
         train_loaders = task.train_dataloader()
         if not train_loaders:
             raise ValueError("No TRAIN data configured")
-        train_loader = train_loaders[0]
         val_loaders = task.val_dataloader()
 
         self._setup_state(task, ckpt_path)
-        self._install_device_fns([train_loader], train=True)
+        self._install_device_fns(train_loaders, train=True)
         self._install_device_fns(val_loaders, train=False)
 
-        train_step = self._make_train_step(task, self.tx)
         spe = self.steps_per_execution
+        if len(train_loaders) > 1:
+            from torchok_tpu.data.loader import CombinedTrainLoader
+            if spe > 1:
+                logger.warning(
+                    "steps_per_execution>1 with multiple TRAIN dataloaders is "
+                    "unsupported (fused super-batches would mix loaders); "
+                    "falling back to one step per execution")
+                spe = 1
+            train_loader = CombinedTrainLoader(
+                train_loaders, mode=self.multiple_trainloader_mode)
+        else:
+            train_loader = train_loaders[0]
+
+        train_step = self._make_train_step(task, self.txs)
         micro_batch = train_loader.batch_size
         multi_step = None
         if spe > 1:
@@ -397,7 +445,8 @@ class Trainer:
                            multi_step, spe, micro_batch)
         finally:
             # restore: repeated fit() calls must not compound the scaling
-            train_loader.batch_size = micro_batch
+            if spe > 1:
+                train_loader.batch_size = micro_batch
 
     def _fit_loop(self, task, train_loader, val_loaders, train_step,
                   multi_step, spe, micro_batch) -> None:
@@ -491,7 +540,7 @@ class Trainer:
                 # step-interval schedulers advance once per optimizer step; in
                 # multi-step mode the lr update lands between executions (lr is
                 # constant within one fused scan, matching an accumulated step)
-                for bundle in self.bundles:
+                for b_idx, bundle in enumerate(self.bundles):
                     if bundle.scheduler is None or bundle.scheduler_interval != "step":
                         continue
                     fired = (self.global_step // bundle.scheduler_frequency
@@ -503,7 +552,8 @@ class Trainer:
                     factor = new_lr / bundle.scheduler.base_lr \
                         if bundle.scheduler.base_lr else 1.0
                     self.state = self.state.replace(
-                        opt_state=self._apply_lr_factor(self.state.opt_state, factor))
+                        opt_state=self._apply_lr_factor(self.state.opt_state,
+                                                        factor, b_idx))
                 if (self.global_step // self.log_every_n_steps
                         > prev_step // self.log_every_n_steps):
                     host_losses = {k: float(v) for k, v in losses.items()}
@@ -541,7 +591,7 @@ class Trainer:
                     cb.on_validation_epoch_end(self, task, val_logs)
 
             # ----- schedulers -----
-            for bundle in self.bundles:
+            for b_idx, bundle in enumerate(self.bundles):
                 sched = bundle.scheduler
                 if sched is None or bundle.scheduler_interval != "epoch":
                     continue
@@ -550,7 +600,8 @@ class Trainer:
                     new_lr = sched.step(metric)
                     factor = new_lr / sched.base_lr if sched.base_lr else 1.0
                     self.state = self.state.replace(
-                        opt_state=self._apply_lr_factor(self.state.opt_state, factor))
+                        opt_state=self._apply_lr_factor(self.state.opt_state,
+                                                        factor, b_idx))
             epoch_logs["lr"] = self.current_lr()
 
             self.callback_metrics = dict(epoch_logs)

@@ -99,9 +99,9 @@ class IndexBasedMeter(Metric):
             if len(curr) == 0:
                 if self.raise_empty_query:
                     raise ValueError(
-                        "Representation metric. The dataset contains a query vector "
-                        "that does not has relevants. Set parameter raise_empty_query "
-                        "to False for compute.")
+                        "Retrieval metric: the dataset contains a query vector "
+                        "with no relevant items; set raise_empty_query=False "
+                        "to skip such queries.")
                 relevant_idxs.append(np.empty((0,), np.int64))
             else:
                 order = np.argsort(scores[curr, query_col_idx])[::-1]
@@ -120,7 +120,9 @@ class IndexBasedMeter(Metric):
                 relevant = garr[garr != query_idx]
                 if len(relevant) == 0 and self.raise_empty_query:
                     raise ValueError(
-                        f"Representation metric. The class {label} has only one element.")
+                        f"Retrieval metric: class {label} has a single element, "
+                        "so its query has no relevant items; set "
+                        "raise_empty_query=False to skip such queries.")
                 query_row_idxs.append(query_idx)
                 relevant_idxs.append(relevant)
         relevant_idxs = np.array(relevant_idxs, dtype=object)
@@ -147,8 +149,14 @@ class IndexBasedMeter(Metric):
         vectors = np.concatenate(state["vectors"]).astype(np.float32)
         group_labels = np.concatenate(state["group_labels"]) if state["group_labels"] else None
         if self.normalize_vectors:
-            # reference normalizes by column norms (index_base_metric.py:193)
-            vectors = vectors / np.linalg.norm(vectors, axis=0)
+            # Per-vector L2 normalization (cosine similarity under IP).
+            # The reference's code divides by per-column norms
+            # (index_base_metric.py:193, axis=0) but its committed answer
+            # tables (tests/.../representation/data.py:16-19 "1 -
+            # cosine_distance") are derived from cosine rankings, which only
+            # row normalization reproduces; we match the oracle.
+            vectors = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
 
         if self.dataset_type == "classification":
             relevant_idxs, gallery_idxs, query_row_idxs, query_as_relevant = \

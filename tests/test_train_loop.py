@@ -481,3 +481,56 @@ def test_multi_optimizer_trains(tmp_path):
     task, trainer = build(config)
     trainer.fit(task)
     assert trainer.callback_metrics["train/loss"] < 2.5
+
+
+def test_make_train_step_accepts_bare_transformation(tmp_path):
+    """bench.py/auto_lr_find/__graft_entry__ pass trainer.tx (a single optax
+    GradientTransformation — itself a NamedTuple); it must not be unpacked
+    as a list of transformations."""
+    import jax
+    import numpy as np
+
+    config = make_config(tmp_path, max_epochs=1)
+    task, trainer = build(config)
+    trainer._setup_state(task)
+    step = trainer._make_train_step(task, trainer.tx)
+    host = {"image": np.zeros((8, 32, 32, 3), np.float32),
+            "target": np.zeros((8,), np.int64)}
+    batch = jax.device_put(host, trainer.data_sharding)
+    state, outputs, losses = step(trainer.state, batch)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_combined_loader_modes_unit():
+    from torchok_tpu.data.loader import CombinedTrainLoader, DataLoader
+
+    class DS:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            import numpy as np
+            return {"x": np.asarray([i]), "tag": self.tag}
+
+    a = DataLoader(DS(8, 0), batch_size=2, num_workers=0)   # 4 batches
+    b = DataLoader(DS(4, 1), batch_size=2, num_workers=0)   # 2 batches
+
+    seq = CombinedTrainLoader([a, b], mode="sequential")
+    assert len(seq) == 6
+    batches = list(seq)
+    assert len(batches) == 6
+    tags = [bb["tag"][0] for bb in batches]
+    assert tags.count(0) == 4 and tags.count(1) == 2
+    # round-robin while both live: first four alternate
+    assert tags[:4] == [0, 1, 0, 1]
+
+    cyc = CombinedTrainLoader([a, b], mode="max_size_cycle")
+    assert len(cyc) == 8
+    batches = list(cyc)
+    assert len(batches) == 8
+    tags = [bb["tag"][0] for bb in batches]
+    assert tags == [0, 1] * 4  # shorter loader restarted
+
+    cyc.set_epoch(3)
+    assert a.epoch == 3 and b.epoch == 3

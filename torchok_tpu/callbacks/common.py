@@ -97,13 +97,45 @@ class RichProgressBar(TQDMProgressBar):
 
 @CALLBACKS.register_class
 class ModelSummary(Callback):
+    """Per-module parameter/state table at fit start (Lightning parity:
+    reference re-registers pl.callbacks.ModelSummary). ``max_depth`` bounds
+    how deep into the param tree the breakdown goes."""
+
     def __init__(self, max_depth: int = 1, **_):
         self.max_depth = max_depth
 
+    @staticmethod
+    def _count(tree) -> int:
+        return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree)))
+
+    def _rows(self, tree, prefix, depth):
+        if depth >= self.max_depth or not isinstance(tree, dict):
+            return []
+        rows = []
+        for name, sub in tree.items():
+            path = f"{prefix}{name}"
+            rows.append((path, self._count(sub)))
+            rows.extend(self._rows(sub, path + ".", depth + 1))
+        return rows
+
     def on_fit_start(self, trainer, task) -> None:
         params = trainer.state.params
-        count = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
-        print(f"Model parameters: {count / 1e6:.2f}M", flush=True)
+        total = self._count(params)
+        trainable = self._count(jax.tree_util.tree_map(
+            lambda p, m: p if float(np.max(m)) > 0 else np.zeros((0,)),
+            params, jax.device_get(trainer.state.grad_mask)))
+        stats = self._count(trainer.state.batch_stats) + \
+            self._count(trainer.state.buffers)
+        rows = self._rows(params, "", 0)
+        width = max([len(r[0]) for r in rows], default=4)
+        lines = [f"  {name:<{width}}  {cnt / 1e6:>8.2f}M" for name, cnt in rows]
+        print("\n".join([
+            *lines,
+            f"Trainable params: {trainable / 1e6:.2f}M",
+            f"Non-trainable params: {(total - trainable) / 1e6:.2f}M",
+            f"Norm stats / buffers: {stats / 1e6:.2f}M",
+            f"Total params: {total / 1e6:.2f}M",
+        ]), flush=True)
 
 
 @CALLBACKS.register_class

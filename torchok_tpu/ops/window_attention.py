@@ -33,21 +33,37 @@ def _normalize(x, axis=-1, eps=1e-12):
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
 
 
-def _window_attention_xla(q, k, v, logit_scale, bias, mask):
-    """q/k/v: (B, H, L, D); logit_scale: (H,); bias: (H, L, L);
-    mask: (B, L, L) additive or None."""
+def _window_attention_xla(q, k, v, logit_scale, bias, mask, layout="bhld"):
+    """q/k/v: (B, H, L, D) for layout="bhld" or (B, L, H, D) for "blhd";
+    logit_scale: (H,); bias: (H, L, L); mask: (B, L, L) additive or None.
+
+    The "blhd" layout is the fast path for SwinV2: the qkv projection output
+    is (B, L, 3*H*D) and slicing straight into (B, L, H, D) avoids the 5D
+    transpose whose relayout copies cost ~20% of a swinv2_tiny_256 train
+    step (profiled on v5e); the einsums carry the head axis as a non-leading
+    batch dim and the output needs no transpose either.
+    """
+    if layout == "blhd":
+        eq_qk, eq_pv = "bqhd,bkhd->bhqk", "bhqk,bkhd->bqhd"
+    else:
+        eq_qk, eq_pv = "bhqd,bhkd->bhqk", "bhqk,bhkd->bhqd"
     dtype = q.dtype
-    qn = _normalize(q.astype(jnp.float32))
-    kn = _normalize(k.astype(jnp.float32))
+    # Normalize in f32 (rsqrt stability) but feed the MXU bf16 operands with
+    # f32 accumulation: an f32xf32 matmul has no native MXU path on TPU and
+    # lowers to a multi-pass decomposition — measured 372 ms of a 661 ms
+    # swinv2_tiny_256/bs256 train step before this cast. Unit-norm vectors
+    # round to bf16 with relative error ~2^-9, well inside the attention
+    # logits' tolerance (reference trains the same math in fp16 autocast).
+    qn = _normalize(q.astype(jnp.float32)).astype(dtype)
+    kn = _normalize(k.astype(jnp.float32)).astype(dtype)
     scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), LOG2_100))
-    attn = jnp.einsum("bhqd,bhkd->bhqk", qn, kn,
-                      preferred_element_type=jnp.float32)
+    attn = jnp.einsum(eq_qk, qn, kn, preferred_element_type=jnp.float32)
     attn = attn * scale[None, :, None, None]
     attn = attn + bias.astype(jnp.float32)[None]
     if mask is not None:
         attn = attn + mask.astype(jnp.float32)[:, None]
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(dtype), v)
+    out = jnp.einsum(eq_pv, attn.astype(dtype), v)
     return out
 
 
@@ -125,10 +141,13 @@ def _window_attention_pallas(q, k, v, logit_scale, bias, mask):
 
 
 def window_attention(q, k, v, logit_scale, bias, mask=None,
-                     use_pallas: Optional[bool] = None, interpret: bool = False):
+                     use_pallas: Optional[bool] = None, interpret: bool = False,
+                     layout: str = "bhld"):
     """Fused SwinV2 cosine window attention. Shapes:
-    q/k/v (B_, H, L, D), logit_scale (H,), bias (H, L, L), mask (B_, L, L)
-    additive (callers tile the per-window-type mask over the batch).
+    q/k/v (B_, H, L, D) — or (B_, L, H, D) with layout="blhd", the
+    transpose-free fast path — logit_scale (H,), bias (H, L, L),
+    mask (B_, L, L) additive (callers tile the per-window-type mask over
+    the batch).
 
     Backend choice: measured on v5e (B=256,H=4,L=64,D=32) the XLA batched
     formulation runs ~488us vs ~1227us for the per-window Pallas kernel —
@@ -142,5 +161,11 @@ def window_attention(q, k, v, logit_scale, bias, mask=None,
         use_pallas = os.environ.get("TORCHOK_WINDOW_ATTN_PALLAS", "0") == "1" \
             and jax.default_backend() == "tpu"
     if use_pallas:
+        if layout == "blhd":  # pallas kernel expects head-major blocks
+            out = _window_attention_pallas(q.transpose(0, 2, 1, 3),
+                                           k.transpose(0, 2, 1, 3),
+                                           v.transpose(0, 2, 1, 3),
+                                           logit_scale, bias, mask)
+            return out.transpose(0, 2, 1, 3)
         return _window_attention_pallas(q, k, v, logit_scale, bias, mask)
-    return _window_attention_xla(q, k, v, logit_scale, bias, mask)
+    return _window_attention_xla(q, k, v, logit_scale, bias, mask, layout)

@@ -156,3 +156,30 @@ class TestContrastiveDataset:
         s = ds[0]
         assert s["image_0"].shape == (48, 48, 3)
         assert s["image_1"].shape == (48, 48, 3)
+
+
+class TestSyntheticShapes:
+    def test_classification_variant_learnable_split(self):
+        from torchok_tpu.data.datasets.examples.synthetic import SyntheticShapesDataset
+        tr = SyntheticShapesDataset(transform=[], num_samples=50, train=True)
+        va = SyntheticShapesDataset(transform=[], num_samples=50, train=False)
+        # disjoint generator seeds -> different images
+        assert not np.array_equal(tr.images[0], va.images[0])
+        assert tr[0]["image"].shape == (32, 32, 3)
+
+    def test_segmentation_variant_mask_alignment(self):
+        from torchok_tpu.data.datasets.examples.synthetic import (
+            SyntheticShapesSegmentationDataset)
+        ds = SyntheticShapesSegmentationDataset(transform=[], num_samples=40)
+        s = ds[0]
+        assert s["target"].shape == (32, 32)
+        labels = set(np.unique(s["target"]).tolist())
+        assert labels <= set(range(11))
+        # the mask's nonzero id must match the sample's class + 1
+        nz = s["target"][s["target"] > 0]
+        if len(nz):
+            assert set(np.unique(nz).tolist()) == {int(ds.targets[0]) + 1}
+        # vectorized batch fetch agrees with per-item access
+        b = ds.get_batch(np.arange(4))
+        assert b["target"].shape == (4, 32, 32)
+        assert np.array_equal(b["target"][0], s["target"])

@@ -77,7 +77,7 @@ class SyntheticShapesDataset(ImageDataset):
         h, w = image_size
         self.targets = rng.integers(0, self.NUM_CLASSES,
                                     size=(num_samples,)).astype(np.int64)
-        self.images = self._render(rng, self.targets, h, w, noise)
+        self.images, self.masks = self._render(rng, self.targets, h, w, noise)
 
     @staticmethod
     def _render(rng, targets, h, w, noise):
@@ -116,7 +116,10 @@ class SyntheticShapesDataset(ImageDataset):
         bg = rng.uniform(0, 110, size=(n, 1, 1, 3)).astype(np.float32)
         img = bg + masks[..., None] * (fg - bg)
         img += rng.normal(0, noise, size=img.shape).astype(np.float32)
-        return np.clip(img, 0, 255).astype(np.uint8)
+        # per-pixel labels: 0 = background, class_id + 1 where the pattern is
+        # "on" (gradient class thresholds at 0.5)
+        seg = (masks > 0.5).astype(np.int64) * (targets[:, None, None] + 1)
+        return np.clip(img, 0, 255).astype(np.uint8), seg
 
     def __len__(self) -> int:
         return len(self.images)
@@ -124,3 +127,31 @@ class SyntheticShapesDataset(ImageDataset):
     get_batch = SyntheticClassificationDataset.get_batch
     get_raw = SyntheticClassificationDataset.get_raw
     __getitem__ = SyntheticClassificationDataset.__getitem__
+
+
+@DATASETS.register_class
+class SyntheticShapesSegmentationDataset(SyntheticShapesDataset):
+    """Segmentation variant of the shapes dataset: per-pixel labels with
+    0 = background and 1..10 = the pattern classes (train/val from disjoint
+    generator seeds, like the classification variant)."""
+
+    def get_batch(self, idxs):
+        out = {"image": self.images[idxs], "index": idxs.astype("int64")}
+        if not self.test_mode:
+            out["target"] = self.masks[idxs]
+        return out
+
+    def get_raw(self, idx: int) -> dict:
+        sample = {"image": self.images[idx], "mask": self.masks[idx],
+                  "index": idx}
+        return self._apply_transform(self.augment, sample)
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = {"image": self.images[idx]}
+        if not self.test_mode:
+            sample["mask"] = self.masks[idx]
+        sample = self.apply_host_pipeline(sample)
+        out = {"image": sample["image"], "index": idx}
+        if not self.test_mode:
+            out["target"] = sample["mask"].astype(np.int64)
+        return out

@@ -168,10 +168,10 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x_sp = jnp.roll(x_sp, (-shift, -shift), axis=(1, 2))
             ids = jnp.asarray(_shift_window_region_ids(hp, wp, ws, shift))
-            # (nW, L, L) additive mask computed in-graph, tiled over batch
-            # in-graph too — only the (nW, L) id table lands in the HLO
+            # compact (nW, L, L) additive mask computed in-graph — only the
+            # (nW, L) id table lands in the HLO, and the attention op
+            # broadcasts over the batch without materializing a tiled copy
             mask = jnp.where(ids[:, :, None] != ids[:, None, :], -100.0, 0.0)
-            mask = jnp.tile(mask, (b, 1, 1))
         else:
             mask = None
 

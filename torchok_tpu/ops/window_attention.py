@@ -61,7 +61,17 @@ def _window_attention_xla(q, k, v, logit_scale, bias, mask, layout="bhld"):
     attn = attn * scale[None, :, None, None]
     attn = attn + bias.astype(jnp.float32)[None]
     if mask is not None:
-        attn = attn + mask.astype(jnp.float32)[:, None]
+        if mask.shape[0] == attn.shape[0]:
+            attn = attn + mask.astype(jnp.float32)[:, None]
+        else:
+            # compact per-window-type mask (nW, L, L): broadcast over the
+            # batch inside the fusion instead of materializing a tiled
+            # (B*nW, L, L) tensor in HBM
+            nw = mask.shape[0]
+            b = attn.shape[0] // nw
+            attn = (attn.reshape(b, nw, *attn.shape[1:])
+                    + mask.astype(jnp.float32)[None, :, None]
+                    ).reshape(attn.shape)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum(eq_pv, attn.astype(dtype), v)
     return out
@@ -161,6 +171,10 @@ def window_attention(q, k, v, logit_scale, bias, mask=None,
         use_pallas = os.environ.get("TORCHOK_WINDOW_ATTN_PALLAS", "0") == "1" \
             and jax.default_backend() == "tpu"
     if use_pallas:
+        if mask is not None and mask.shape[0] != q.shape[0]:
+            # kernel indexes the mask per window-batch row; expand compact
+            # (nW, L, L) masks (opt-in path: correctness over HBM thrift)
+            mask = jnp.tile(mask, (q.shape[0] // mask.shape[0], 1, 1))
         if layout == "blhd":  # pallas kernel expects head-major blocks
             out = _window_attention_pallas(q.transpose(0, 2, 1, 3),
                                            k.transpose(0, 2, 1, 3),

@@ -155,3 +155,20 @@ def test_dp_x_tp_2x2_mesh_four_devices(tmp_path):
                           env=env, capture_output=True, text=True, timeout=420)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "2x2 OK" in proc.stdout
+
+
+def test_multi_optimizer_fsdp_state_shards(tmp_path, multi_devices):
+    """Tuple opt_state (two optimization groups) must survive fsdp sharding
+    and one training step."""
+    optimization = [
+        {"optimizer": {"name": "SGD", "params": {"lr": 0.01}}},
+        {"optimizer": {"name": "Adam", "params": {"lr": 0.001}}},
+    ]
+    config = make_config(tmp_path, max_epochs=1, optimization=optimization,
+                         trainer_extra={"strategy": "fsdp",
+                                        "num_sanity_val_steps": 0,
+                                        "limit_train_batches": 2})
+    task, trainer = build(config)
+    trainer.fit(task)
+    assert isinstance(trainer.state.opt_state, tuple)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])

@@ -179,7 +179,8 @@ class TestSyntheticShapes:
         nz = s["target"][s["target"] > 0]
         if len(nz):
             assert set(np.unique(nz).tolist()) == {int(ds.targets[0]) + 1}
-        # vectorized batch fetch agrees with per-item access
+        # vectorized batch fetch agrees with per-item access (batch path
+        # carries pixel labels as 'mask' for the device pipeline)
         b = ds.get_batch(np.arange(4))
-        assert b["target"].shape == (4, 32, 32)
-        assert np.array_equal(b["target"][0], s["target"])
+        assert b["mask"].shape == (4, 32, 32)
+        assert np.array_equal(b["mask"][0], s["target"])

@@ -104,3 +104,46 @@ def test_ocr_segmentation_head_trains(seg_root, tmp_path):
                                           "ocr_key_channels": 16})
     trainer = _fit(config)
     assert np.isfinite(trainer.callback_metrics["train/loss"])
+
+
+def test_uniform_seg_dataset_device_resize_keeps_mask_aligned(tmp_path):
+    """Regression: a uniform-size segmentation dataset whose Resize runs in
+    the device suffix must resize the pixel labels alongside the image (the
+    labels ride as 'mask' and the engine renames to 'target' post-pipe)."""
+    cfg = {
+        "task": {
+            "name": "SegmentationTask",
+            "params": {
+                "backbone_name": "resnet10t",
+                "backbone_params": {"pretrained": False, "in_channels": 3},
+                "neck_name": "UnetNeck",
+                "neck_params": {"decoder_channels": [32, 16, 8, 8, 8]},
+                "head_name": "SegmentationHead",
+                "head_params": {"num_classes": 11},
+                "inputs": [{"shape": [3, 64, 64], "dtype": "float32"}],
+            },
+        },
+        "joint_loss": {"losses": [
+            {"name": "CrossEntropyLoss",
+             "mapping": {"input": "prediction", "target": "target"}}]},
+        "optimization": [{"optimizer": {"name": "Adam", "params": {"lr": 1e-3}}}],
+        "data": {"TRAIN": [{
+            "dataloader": {"batch_size": 8, "num_workers": 0, "drop_last": True},
+            "dataset": {
+                "name": "SyntheticShapesSegmentationDataset",
+                "params": {"num_samples": 16},  # native 32x32, resized 64x64
+                "transform": [
+                    {"name": "Resize", "params": {"height": 64, "width": 64}},
+                    {"name": "Normalize"},
+                    {"name": "ToTensorV2"},
+                ],
+            }}]},
+        "trainer": {"max_epochs": 1, "precision": 32,
+                    "num_sanity_val_steps": 0, "limit_train_batches": 2},
+        "seed_params": {"seed": 1},
+    }
+    config = merge_structured(ConfigNode(cfg))
+    task = TASKS.get(config.task.name)(config, **config.task.params.to_dict())
+    trainer = create_trainer(config)
+    trainer.fit(task)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])

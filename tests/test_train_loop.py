@@ -422,9 +422,9 @@ def _two_train_loader_config(tmp_path, mode, n1=96, n2=32, max_epochs=1):
 
 
 def test_multiple_train_loaders_sequential(tmp_path):
-    """Two TRAIN loaders, 'sequential': each contributes every batch once —
-    96/32 + 32/32 = 3 + 1 = 4 optimizer steps per epoch (reference surface:
-    torchok tasks/base.py:60-68 returns a list of train dataloaders)."""
+    """Two TRAIN loaders, 'sequential' (consumed one after another, each
+    fully): 96/32 + 32/32 = 3 + 1 = 4 optimizer steps per epoch (reference
+    surface: torchok tasks/base.py:60-68 returns a list of dataloaders)."""
     config = _two_train_loader_config(tmp_path, "sequential")
     task, trainer = build(config)
     trainer.fit(task)
@@ -521,9 +521,8 @@ def test_combined_loader_modes_unit():
     batches = list(seq)
     assert len(batches) == 6
     tags = [bb["tag"][0] for bb in batches]
-    assert tags.count(0) == 4 and tags.count(1) == 2
-    # round-robin while both live: first four alternate
-    assert tags[:4] == [0, 1, 0, 1]
+    # Lightning 2.x sequential semantics: consume each loader fully, in order
+    assert tags == [0, 0, 0, 0, 1, 1]
 
     cyc = CombinedTrainLoader([a, b], mode="max_size_cycle")
     assert len(cyc) == 8
@@ -534,3 +533,9 @@ def test_combined_loader_modes_unit():
 
     cyc.set_epoch(3)
     assert a.epoch == 3 and b.epoch == 3
+
+    # empty loaders are rejected at construction, not mid-epoch
+    empty = DataLoader(DS(1, 2), batch_size=2, num_workers=0, drop_last=True)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero batches"):
+        CombinedTrainLoader([a, empty])

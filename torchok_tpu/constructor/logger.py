@@ -1,10 +1,11 @@
 """Logger backends (reference: torchok/constructor/logger.py:192-240).
 
 Output-directory convention matches the reference: ``log_dir/experiment_name/
-timestamp`` (reference logger.py:52-73). TensorBoard and CSV ship now; the
-MLFlow/W&B/Neptune backends of the reference need client libraries absent in
-this environment — their registry names resolve to the CSV fallback with a
-warning so configs still run.
+timestamp`` (reference logger.py:52-73). TensorBoard and CSV are native;
+MLFlowLogger[X] write a real mlruns file-store tree (no mlflow client
+needed — utils/mlflow_store.py) including MLFlowLoggerX artifact upload;
+Wandb/Neptune need client libraries and network access absent here and
+RAISE unless ``allow_fallback: true`` explicitly degrades them to CSV.
 """
 from __future__ import annotations
 

@@ -107,7 +107,9 @@ class ImageDataset(ABC):
             img = sample.get("image")
             if img is not None and np.issubdtype(np.asarray(img).dtype,
                                                  np.floating):
-                sample["image"] = np.asarray(img).astype(self.input_dtype)
+                # resolve_np_dtype maps bfloat16 -> f32 for host collation
+                sample["image"] = np.asarray(img).astype(
+                    resolve_np_dtype(self.input_dtype))
         return sample
 
     # ------------------------------ reading --------------------------------

@@ -136,9 +136,12 @@ class SyntheticShapesSegmentationDataset(SyntheticShapesDataset):
     generator seeds, like the classification variant)."""
 
     def get_batch(self, idxs):
+        # pixel labels travel as 'mask' so geometric device ops (Resize)
+        # transform them with the image; the engine renames to 'target'
+        # after the device pipeline
         out = {"image": self.images[idxs], "index": idxs.astype("int64")}
         if not self.test_mode:
-            out["target"] = self.masks[idxs]
+            out["mask"] = self.masks[idxs]
         return out
 
     def get_raw(self, idx: int) -> dict:
@@ -153,5 +156,9 @@ class SyntheticShapesSegmentationDataset(SyntheticShapesDataset):
         sample = self.apply_host_pipeline(sample)
         out = {"image": sample["image"], "index": idx}
         if not self.test_mode:
-            out["target"] = sample["mask"].astype(np.int64)
+            if self.device_pipeline:
+                # keep the device-pipeline key; the engine renames post-pipe
+                out["mask"] = sample["mask"].astype(np.int64)
+            else:
+                out["target"] = sample["mask"].astype(np.int64)
         return out

@@ -220,9 +220,12 @@ class CombinedTrainLoader:
     batch (stable pytree per loader -> at most one XLA executable each):
 
     * ``max_size_cycle`` (default, Lightning's default name): shorter loaders
-      restart; epoch length = n_loaders * max(len(loader)).
-    * ``sequential``: every loader contributes each batch exactly once;
-      epoch length = sum(len(loader)).
+      restart, batches interleave round-robin; epoch length =
+      n_loaders * max(len(loader)). (Lightning zips the loaders into one
+      multi-batch per step; interleaving is the single-dict-batch analog.)
+    * ``sequential`` (Lightning 2.x CombinedLoader semantics): loaders are
+      consumed one after another, each fully; epoch length =
+      sum(len(loader)).
     """
 
     def __init__(self, loaders: Sequence, mode: str = "max_size_cycle"):
@@ -230,6 +233,12 @@ class CombinedTrainLoader:
             raise ValueError(f"unknown multiple_trainloader_mode: {mode!r}")
         if not loaders:
             raise ValueError("CombinedTrainLoader needs at least one loader")
+        for i, ld in enumerate(loaders):
+            if len(ld) == 0:
+                raise ValueError(
+                    f"TRAIN dataloader #{i} yields zero batches (dataset "
+                    "smaller than batch_size with drop_last?); combined "
+                    "train loading needs every loader non-empty")
         self.loaders = list(loaders)
         self.mode = mode
         self.epoch = 0
@@ -255,18 +264,11 @@ class CombinedTrainLoader:
         return len(self.loaders) * max(len(ld) for ld in self.loaders)
 
     def __iter__(self) -> Iterator[Any]:
-        iters = [iter(ld) for ld in self.loaders]
         if self.mode == "sequential":
-            exhausted = [False] * len(iters)
-            while not all(exhausted):
-                for i, it in enumerate(iters):
-                    if exhausted[i]:
-                        continue
-                    try:
-                        yield next(it)
-                    except StopIteration:
-                        exhausted[i] = True
+            for ld in self.loaders:
+                yield from ld
             return
+        iters = [iter(ld) for ld in self.loaders]
         # max_size_cycle: stop when the longest loader finishes a pass;
         # shorter loaders restart in place
         target = max(len(ld) for ld in self.loaders)

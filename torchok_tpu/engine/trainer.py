@@ -160,6 +160,11 @@ class Trainer:
                         batch[k] = sub["image"]
             for k in _image_keys(batch):
                 batch[k] = batch[k].astype(dtype)
+            # segmentation convention: pixel labels ride the device pipeline
+            # under 'mask' (geometric device ops transform it alongside the
+            # image); tasks consume them as 'target'
+            if "mask" in batch and "target" not in batch:
+                batch["target"] = batch.pop("mask")
             return batch
 
         def device_fn(host_batch, step):

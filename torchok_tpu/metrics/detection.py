@@ -155,8 +155,23 @@ class MMDetectionMAP(Metric):
                 boxes, scores = pb[p_mask], ps[p_mask]
                 gts = gb[g_mask]
                 n_gt += len(gts)
-                s_kept, tp = _match_image(boxes, scores, gts, self.iou_thr)
-                scores_all.append(s_kept)
+                # mmdet tpfp_default semantics (the class this mirrors):
+                # each detection pairs only with its argmax-IoU GT; if that
+                # GT is taken, the detection is FP — no fallback to other
+                # overlapping GTs (pycocotools-style greedy matching lives
+                # in CocoEvalMAP via _match_image).
+                order = np.argsort(-scores, kind="stable")
+                ious = _iou_matrix(boxes, gts)
+                matched = np.zeros(len(gts), bool)
+                tp = np.zeros(len(boxes), np.float32)
+                for d in order:
+                    if len(gts) == 0:
+                        continue
+                    j = int(np.argmax(ious[d]))
+                    if ious[d, j] >= self.iou_thr and not matched[j]:
+                        matched[j] = True
+                        tp[d] = 1.0
+                scores_all.append(scores)
                 tp_all.append(tp)
             if n_gt == 0:
                 continue

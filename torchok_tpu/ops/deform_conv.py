@@ -54,9 +54,10 @@ def deform_conv2d(feat: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
     px = base_x[None] + off[..., 1]
 
     patches = _bilinear_gather(feat, py, px)               # (B, Ho, Wo, K, Cin)
-    patches = patches * mask[..., None]
+    patches = patches * mask[..., None].astype(patches.dtype)
     return jnp.einsum("bhwkc,kco->bhwo", patches,
-                      kernel.reshape(k, cin, cout))
+                      kernel.reshape(k, cin, cout),
+                      preferred_element_type=jnp.float32).astype(feat.dtype)
 
 
 def _bilinear_gather(feat: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
@@ -114,8 +115,16 @@ class ModulatedDeformConv(nn.Module):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (kh, kw, cin, self.features))
-        y = deform_conv2d(x.astype(kernel.dtype), offsets, mask, kernel,
+        # flax promote_dtype convention: params stay f32, compute runs in
+        # self.dtype (bf16 under precision:16) so the gathers, the big
+        # (B,Ho,Wo,K,Cin) patch tensor and the einsum stay on the MXU fast
+        # path; the einsum accumulates in f32 via preferred_element_type.
+        compute_dtype = self.dtype or x.dtype
+        y = deform_conv2d(x.astype(compute_dtype), offsets.astype(compute_dtype),
+                          mask.astype(compute_dtype),
+                          kernel.astype(compute_dtype),
                           stride=self.stride, dilation=self.dilation)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,)).astype(y.dtype)
         return y

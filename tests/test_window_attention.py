@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from torchok_tpu.ops.window_attention import (_window_attention_pallas,
+from torchok_tpu.ops.window_attention import (_window_attention_pallas_mw,
                                               _window_attention_xla,
                                               window_attention)
 
@@ -65,19 +65,49 @@ def test_masked_windows_attend_only_within_region(data):
 
 
 def test_pallas_interpret_matches_xla(data):
+    """Multi-window kernel (compact mask indexed per window) vs XLA."""
     q, k, v, scale, bias, mask = data
-    ref = _window_attention_xla(q, k, v, scale, bias, jnp.tile(mask, (B, 1, 1)))
+    ref = _window_attention_xla(q, k, v, scale, bias, mask)
+    got = _window_attention_pallas_mw(q, k, v, scale, bias, mask,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_interpret_no_mask_and_grouping(data):
+    q, k, v, scale, bias, mask = data
+    zeros = jnp.zeros((1, L, L), jnp.float32)
+    ref = _window_attention_xla(q, k, v, scale, bias, None)
+    for g in (1, 2, 8):
+        got = _window_attention_pallas_mw(q, k, v, scale, bias, zeros,
+                                          windows_per_block=g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_backward_matches_xla_grads(data):
+    """custom_vjp: pallas forward (interpret) + XLA recompute backward must
+    produce the XLA formulation's gradients."""
     import functools
     import torchok_tpu.ops.window_attention as wa
+    q, k, v, scale, bias, mask = data
+
+    def loss_ref(q_, k_, v_, s_, b_):
+        return jnp.sum(_window_attention_xla(q_, k_, v_, s_, b_, mask) ** 2)
+
+    def loss_hyb(q_, k_, v_, s_, b_):
+        return jnp.sum(wa._window_attention_hybrid(q_, k_, v_, s_, b_, mask) ** 2)
+
     orig = wa.pl.pallas_call
     wa.pl.pallas_call = functools.partial(orig, interpret=True)
     try:
-        got = _window_attention_pallas(q, k, v, scale, bias,
-                                       jnp.tile(mask, (B, 1, 1)))
+        g_h = jax.grad(loss_hyb, argnums=(0, 1, 2, 3, 4))(q, k, v, scale, bias)
     finally:
         wa.pl.pallas_call = orig
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, scale, bias)
+    for a, b_ in zip(g_h, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4)
 
 
 def test_dispatch_accepts_compact_mask_blhd(data):

@@ -9,11 +9,13 @@ Two execution paths:
 
 * ``_window_attention_xla`` — batched einsum formulation; windows ride the
   batch dimension so every matmul lands on the MXU.
-* ``_window_attention_pallas`` — a Pallas TPU kernel fusing the q/k
-  normalization, cosine-logits matmul, bias/mask add, softmax and PV matmul
-  in VMEM, one grid step per (window-batch, head). Used on TPU by default;
-  numerics are validated against the XLA path in tests (interpret mode on
-  CPU).
+* ``_window_attention_pallas_mw`` — a Pallas TPU kernel fusing the q/k
+  normalization, cosine-logits matmul, bias add, per-window compact mask
+  lookup, softmax and PV matmul in VMEM, G windows x one head per grid
+  step; wrapped in ``_window_attention_hybrid`` (custom_vjp) with an XLA
+  recompute backward so it is trainable. Opt-in via
+  TORCHOK_WINDOW_ATTN_PALLAS=1; numerics validated against the XLA path in
+  tests (interpret mode on CPU).
 """
 from __future__ import annotations
 
@@ -81,73 +83,103 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _wa_kernel(q_ref, k_ref, v_ref, scale_ref, bias_ref, mask_ref, out_ref, *, L):
-    """One (window, head) tile: fused cosine attention in VMEM.
-    q: (Lq, Dp); k, v: (Lk, Dp); bias/mask: (Lq, Lk); scale: full (H,) SMEM."""
+def _wa_kernel_mw(q_ref, k_ref, v_ref, scale_ref, bias_ref, mask_ref, out_ref,
+                  *, G, n_mask):
+    """G windows x one head per program: fused cosine attention in VMEM.
+    q/k/v blocks (G, 1, L, D); bias (1, L, L) for this head; mask holds ALL
+    n_mask compact window-type masks (n_mask, L, L) — each window g picks
+    its row by global window id (grid dim 0 walks window blocks; window
+    order is batch-major, so id % nW is the window type)."""
     head = pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
-
-    qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-    kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+    blk = pl.program_id(0)
     scale = jnp.exp(jnp.minimum(scale_ref[head], LOG2_100))
-    attn = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32) * scale
-    attn = attn + bias_ref[0].astype(jnp.float32)
-    attn = attn + mask_ref[0].astype(jnp.float32)
-    if attn.shape[-1] != L:  # mask out padded key positions
-        col = jax.lax.broadcasted_iota(jnp.int32, attn.shape, 1)
-        attn = jnp.where(col < L, attn, -1e30)
-    attn = jax.nn.softmax(attn, axis=-1)
-    out_ref[0, 0] = jnp.dot(attn.astype(jnp.float32), v.astype(jnp.float32),
-                            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    bias_f = bias_ref[0].astype(jnp.float32)
+    for g in range(G):  # static unroll
+        q = q_ref[g, 0].astype(jnp.float32)
+        k = k_ref[g, 0].astype(jnp.float32)
+        v = v_ref[g, 0]
+        qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+        kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+        attn = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32) * scale
+        attn = attn + bias_f
+        if n_mask > 1:
+            w_idx = jax.lax.rem(blk * G + g, n_mask)
+            m = mask_ref[pl.dslice(w_idx, 1), :, :]
+            attn = attn + m[0].astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out_ref[g, 0] = jnp.dot(attn.astype(jnp.float32),
+                                v.astype(jnp.float32),
+                                preferred_element_type=jnp.float32
+                                ).astype(out_ref.dtype)
 
 
-def _window_attention_pallas(q, k, v, logit_scale, bias, mask):
+def _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr,
+                                windows_per_block: int = 8,
+                                interpret: Optional[bool] = None):
+    """Multi-window blocked forward. q/k/v (B, H, L, D) head-major; mask_arr
+    is the COMPACT (nW, L, L) per-window-type mask ((1, L, L) zeros when
+    unshifted)."""
     B, H, L, D = q.shape
-    Lq = _round_up(L, 8)     # sublane-aligned query length
-    Lk = _round_up(L, 128)   # lane-aligned key length
-    Dp = _round_up(D, 128)
+    if interpret is None:  # simulated-CPU runs always interpret
+        interpret = jax.default_backend() != "tpu"
+    G = windows_per_block
+    while B % G:
+        G //= 2
+    n_mask = mask_arr.shape[0]
 
-    qp = jnp.pad(q, [(0, 0), (0, 0), (0, Lq - L), (0, Dp - D)])
-    kp = jnp.pad(k, [(0, 0), (0, 0), (0, Lk - L), (0, Dp - D)])
-    vp = jnp.pad(v, [(0, 0), (0, 0), (0, Lk - L), (0, Dp - D)])
-    bias_p = jnp.pad(bias, [(0, 0), (0, Lq - L), (0, Lk - L)])
-    if mask is None:
-        mask_arr = jnp.zeros((1, Lq, Lk), q.dtype)
-        mask_idx = lambda b, h: (0, 0, 0)  # noqa: E731
-    else:
-        mask_arr = jnp.pad(mask.astype(q.dtype), [(0, 0), (0, Lq - L), (0, Lk - L)])
-        mask_idx = lambda b, h: (b, 0, 0)  # noqa: E731
-
-    scale1d = logit_scale.reshape(H).astype(jnp.float32)
-
-    kernel = functools.partial(_wa_kernel, L=L)
-    out = pl.pallas_call(
+    kernel = functools.partial(_wa_kernel_mw, G=G, n_mask=n_mask)
+    return pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B // G, H),
         in_specs=[
-            pl.BlockSpec((1, 1, Lq, Dp), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, 1, L, D), lambda i, h: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk, Dp), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, 1, L, D), lambda i, h: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk, Dp), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, 1, L, D), lambda i, h: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (H,) scale vector
-            pl.BlockSpec((1, Lq, Lk), lambda b, h: (h, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (H,) scales
+            pl.BlockSpec((1, L, L), lambda i, h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, Lk), mask_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mask, L, L), lambda i, h: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, Lq, Dp), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((G, 1, L, D), lambda i, h: (i, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * (Lq * Lk * Dp + Lq * Lk * Dp),
-            bytes_accessed=4 * B * H * (Lq * Dp * 2 + Lk * Dp * 2),
-            transcendentals=B * H * Lq * Lk,
+            flops=4 * B * H * L * L * D,
+            bytes_accessed=2 * B * H * L * D * 4,
+            transcendentals=B * H * L * L,
         ),
-    )(qp, kp, vp, scale1d, bias_p, mask_arr)
-    return out[:, :, :L, :D]
+        interpret=interpret,
+    )(q, k, v, logit_scale.reshape(H).astype(jnp.float32), bias, mask_arr)
+
+
+@jax.custom_vjp
+def _window_attention_hybrid(q, k, v, logit_scale, bias, mask_arr):
+    """Pallas fused forward + XLA recompute backward (pallas_call has no
+    autodiff rule). mask_arr is always an array — (1, L, L) zeros when the
+    block is unshifted."""
+    return _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr)
+
+
+def _hybrid_fwd(q, k, v, logit_scale, bias, mask_arr):
+    out = _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr)
+    return out, (q, k, v, logit_scale, bias, mask_arr)
+
+
+def _hybrid_bwd(res, g):
+    q, k, v, logit_scale, bias, mask_arr = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, s_, b_: _window_attention_xla(q_, k_, v_, s_, b_,
+                                                         mask_arr),
+        q, k, v, logit_scale, bias)
+    dq, dk, dv, ds, db = vjp(g)
+    return dq, dk, dv, ds, db, jnp.zeros_like(mask_arr)
+
+
+_window_attention_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def window_attention(q, k, v, logit_scale, bias, mask=None,
@@ -159,27 +191,32 @@ def window_attention(q, k, v, logit_scale, bias, mask=None,
     mask (B_, L, L) additive (callers tile the per-window-type mask over
     the batch).
 
-    Backend choice: measured on v5e (B=256,H=4,L=64,D=32) the XLA batched
-    formulation runs ~488us vs ~1227us for the per-window Pallas kernel —
-    one grid program per (window, head) is too fine and the D->128 lane
-    padding wastes 4x MXU occupancy. XLA is therefore the default; the
-    Pallas path stays available via TORCHOK_WINDOW_ATTN_PALLAS=1 and for the
-    planned multi-window blocked rewrite.
+    Backend choice: XLA is the default. The opt-in Pallas path
+    (TORCHOK_WINDOW_ATTN_PALLAS=1) runs the multi-window blocked kernel
+    forward (G windows x head per program, unpadded head dim, full compact
+    mask resident in VMEM) with an XLA recompute backward via custom_vjp —
+    pallas_call has no autodiff rule of its own. Measured on v5e
+    (swinv2_tiny_256 bs128 train): 465 img/s hybrid vs 497 img/s XLA — the
+    fused forward wins but the recompute backward gives it back; a fused
+    backward kernel is the remaining step if this path should take over.
     """
     if use_pallas is None:
         import os
         use_pallas = os.environ.get("TORCHOK_WINDOW_ATTN_PALLAS", "0") == "1" \
             and jax.default_backend() == "tpu"
     if use_pallas:
-        if mask is not None and mask.shape[0] != q.shape[0]:
-            # kernel indexes the mask per window-batch row; expand compact
-            # (nW, L, L) masks (opt-in path: correctness over HBM thrift)
-            mask = jnp.tile(mask, (q.shape[0] // mask.shape[0], 1, 1))
-        if layout == "blhd":  # pallas kernel expects head-major blocks
-            out = _window_attention_pallas(q.transpose(0, 2, 1, 3),
+        L = bias.shape[-1]
+        if mask is None:
+            mask_arr = jnp.zeros((1, L, L), jnp.float32)
+        elif mask.shape[0] != q.shape[0]:
+            mask_arr = mask  # compact (nW, L, L): the kernel indexes per window
+        else:
+            mask_arr = mask  # fully tiled also works (n_mask == B)
+        if layout == "blhd":  # kernel expects head-major blocks
+            out = _window_attention_hybrid(q.transpose(0, 2, 1, 3),
                                            k.transpose(0, 2, 1, 3),
                                            v.transpose(0, 2, 1, 3),
-                                           logit_scale, bias, mask)
+                                           logit_scale, bias, mask_arr)
             return out.transpose(0, 2, 1, 3)
-        return _window_attention_pallas(q, k, v, logit_scale, bias, mask)
+        return _window_attention_hybrid(q, k, v, logit_scale, bias, mask_arr)
     return _window_attention_xla(q, k, v, logit_scale, bias, mask, layout)

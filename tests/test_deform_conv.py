@@ -92,14 +92,56 @@ def test_module_init_behaves_like_scaled_conv_and_jits():
 
 def test_gradients_flow_through_offsets():
     m = ModulatedDeformConv(features=2)
-    x = jnp.ones((1, 5, 5, 2))
+    rng = np.random.default_rng(3)
+    # non-constant input: with x == const the bilinear offset gradient is
+    # legitimately ~0 and the assertion would be vacuous
+    x = jnp.asarray(rng.normal(size=(1, 5, 5, 2)), jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
+    # perturb the zero-init offset conv so sampling happens off-grid
+    params = jax.tree_util.tree_map(lambda p: p, v["params"])
+    params["offset_mask"]["kernel"] = jnp.asarray(
+        rng.normal(scale=0.3, size=params["offset_mask"]["kernel"].shape),
+        jnp.float32)
 
-    def loss(params):
-        return jnp.sum(m.apply({"params": params}, x) ** 2)
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)
 
-    g = jax.grad(loss)(v["params"])
+    g = jax.grad(loss)(params)
     assert float(jnp.abs(g["kernel"]).sum()) > 0
-    # offset conv gets gradient through the bilinear sampler
-    assert float(jnp.abs(g["offset_mask"]["kernel"]).sum()) >= 0  # finite
+    # offset conv gradient must be strictly nonzero: a regression killing
+    # gradient flow through the bilinear sampler must fail this
+    assert float(jnp.abs(g["offset_mask"]["kernel"]).sum()) > 1e-6
     assert np.isfinite(float(jnp.abs(g["offset_mask"]["bias"]).sum()))
+
+
+def test_bf16_large_coordinates_keep_fractional_offsets():
+    """Regression: coordinate math must be f32 even when inputs are bf16.
+    At y >= 64 a bf16 coordinate has ULP >= 0.5, so fractional offsets would
+    quantize to nearest-neighbour sampling and the output would go constant
+    in the offset; assert the bf16 path still moves with a 0.25px offset and
+    matches the f32 path closely on a 96-wide map."""
+    rng = np.random.default_rng(4)
+    b, h, w, cin, cout = 1, 4, 96, 2, 2
+    feat = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    kernel = rng.normal(size=(1, 1, cin, cout)).astype(np.float32)
+    base = np.zeros((b, h, w, 2), np.float32)
+    quarter = base.copy()
+    quarter[..., 1] = 0.25  # quarter-pixel x shift everywhere
+    mask = np.ones((b, h, w, 1), np.float32)
+
+    def run(offs, dtype):
+        return np.asarray(deform_conv2d(
+            jnp.asarray(feat, dtype), jnp.asarray(offs, dtype),
+            jnp.asarray(mask, dtype), jnp.asarray(kernel, dtype))
+        ).astype(np.float32)
+
+    f32_base, f32_quarter = run(base, jnp.float32), run(quarter, jnp.float32)
+    bf16_quarter = run(quarter, jnp.bfloat16)
+    # the far-right columns (x >= 64) must still see the fractional shift
+    right = (slice(None), slice(None), slice(64, 95))
+    shift_f32 = np.abs(f32_quarter[right] - f32_base[right]).mean()
+    shift_bf16 = np.abs(bf16_quarter[right] - run(base, jnp.bfloat16)[right]).mean()
+    assert shift_f32 > 1e-3  # sanity: the shift does something
+    # bf16 compute of the sampled values is coarse, but the *shift* must
+    # survive — nearest-neighbour collapse would give shift_bf16 ~ 0
+    assert shift_bf16 > 0.25 * shift_f32

@@ -270,14 +270,21 @@ class CombinedTrainLoader:
             return
         iters = [iter(ld) for ld in self.loaders]
         # max_size_cycle: stop when the longest loader finishes a pass;
-        # shorter loaders restart in place
+        # shorter loaders restart in place with a FRESH shuffle seed — a bare
+        # iter() would replay the identical permutation within one epoch
         target = max(len(ld) for ld in self.loaders)
         served = [0] * len(iters)
+        restarts = [0] * len(iters)
         while max(served) < target:
             for i, it in enumerate(iters):
                 try:
                     batch = next(it)
                 except StopIteration:
+                    restarts[i] += 1
+                    # fold the restart count into the epoch seed (large odd
+                    # stride so recycled passes never collide with a real
+                    # epoch's seed); next epoch's set_epoch() resets it
+                    self.loaders[i].set_epoch(self.epoch + 7919 * restarts[i])
                     iters[i] = iter(self.loaders[i])
                     batch = next(iters[i])
                 served[i] += 1

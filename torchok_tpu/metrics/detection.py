@@ -177,7 +177,9 @@ class MMDetectionMAP(Metric):
                 continue
             scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
             tp_cat = np.concatenate(tp_all) if tp_all else np.zeros(0)
-            order = np.argsort(-scores_cat)
+            # stable: on score ties the TP/FP interleave (hence AP) must be
+            # deterministic and match pycocotools' mergesort ordering
+            order = np.argsort(-scores_cat, kind="stable")
             tp_sorted = tp_cat[order]
             tps = np.cumsum(tp_sorted)
             fps = np.cumsum(1 - tp_sorted)
@@ -234,7 +236,7 @@ class CocoEvalMAP(MMDetectionMAP):
                 continue
             scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
             tp_cat = np.concatenate(tp_all) if tp_all else np.zeros(0)
-            order = np.argsort(-scores_cat)
+            order = np.argsort(-scores_cat, kind="stable")
             tp_sorted = tp_cat[order]
             tps = np.cumsum(tp_sorted)
             fps = np.cumsum(1 - tp_sorted)

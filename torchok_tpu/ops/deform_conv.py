@@ -49,9 +49,14 @@ def deform_conv2d(feat: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
     base_y = jnp.broadcast_to(grid_y[:, None], (ho, wo, kh, kw)).reshape(ho, wo, k)
     base_x = jnp.broadcast_to(grid_x[None, :], (ho, wo, kh, kw)).reshape(ho, wo, k)
 
-    off = offsets.reshape(b, ho, wo, k, 2)
-    py = base_y[None] + off[..., 0]                        # (B, Ho, Wo, K)
-    px = base_x[None] + off[..., 1]
+    # Coordinate math must run in f32 regardless of compute dtype: under
+    # precision:16 the offsets arrive as bf16, and int base + bf16 offset
+    # promotes to bf16 where coordinates >= 64 have ULP >= 0.5 — fractional
+    # offsets would quantize away and offset gradients die. Only the gathered
+    # patch values / einsum operands belong in the compute dtype.
+    off = offsets.astype(jnp.float32).reshape(b, ho, wo, k, 2)
+    py = base_y[None].astype(jnp.float32) + off[..., 0]    # (B, Ho, Wo, K)
+    px = base_x[None].astype(jnp.float32) + off[..., 1]
 
     patches = _bilinear_gather(feat, py, px)               # (B, Ho, Wo, K, Cin)
     patches = patches * mask[..., None].astype(patches.dtype)
@@ -62,13 +67,15 @@ def deform_conv2d(feat: jnp.ndarray, offsets: jnp.ndarray, mask: jnp.ndarray,
 
 def _bilinear_gather(feat: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
                      ) -> jnp.ndarray:
-    """Bilinearly sample feat (B,H,W,C) at float coords (B,Ho,Wo,K) with
-    zero padding outside the map."""
+    """Bilinearly sample feat (B,H,W,C) at f32 coords (B,Ho,Wo,K) with
+    zero padding outside the map.  Coordinates and the four bilinear weights
+    stay in float32 (see deform_conv2d); only the gathered values use the
+    compute dtype so the patch tensor stays MXU-friendly."""
     b, h, w, c = feat.shape
     bo, ho, wo, k = py.shape
-    y0 = jnp.floor(py)
+    y0 = jnp.floor(py)   # f32
     x0 = jnp.floor(px)
-    wy1 = py - y0        # weight of y0+1
+    wy1 = py - y0        # weight of y0+1, f32
     wx1 = px - x0
     flat = feat.reshape(b, h * w, c)
 
@@ -79,7 +86,12 @@ def _bilinear_gather(feat: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
         idx = (yc * w + xc).reshape(b, -1)                 # (B, Ho*Wo*K)
         g = jnp.take_along_axis(flat, idx[..., None], axis=1)
         g = g.reshape(b, ho, wo, k, c)
-        return g * (wgt * valid.astype(feat.dtype))[..., None]
+        # weight computed in f32, cast once for the multiply — the fraction
+        # is in [0,1] so a bf16 cast here costs ~2^-8 relative, while the
+        # coordinate quantization the f32 path avoids costed the whole
+        # fractional part.
+        w_cast = (wgt * valid.astype(wgt.dtype)).astype(feat.dtype)
+        return g * w_cast[..., None]
 
     out = corner(y0, x0, (1 - wy1) * (1 - wx1))
     out += corner(y0, x0 + 1, (1 - wy1) * wx1)

@@ -233,6 +233,14 @@ class CombinedTrainLoader:
             raise ValueError(f"unknown multiple_trainloader_mode: {mode!r}")
         if not loaders:
             raise ValueError("CombinedTrainLoader needs at least one loader")
+        # steps_per_execution support: when > 1, K consecutive (interleaved)
+        # batches are concatenated along the batch axis into one super-batch
+        # that the engine's fused lax.scan splits back into K micro steps —
+        # the optimizer-step sequence is identical to the unfused loop.
+        # Requires all loaders to produce structurally identical batches
+        # (same keys/shapes/dtypes); the engine checks batch sizes and the
+        # concat below raises a descriptive error on structural mismatch.
+        self.superbatch_k = 1
         for i, ld in enumerate(loaders):
             if len(ld) == 0:
                 raise ValueError(
@@ -260,10 +268,70 @@ class CombinedTrainLoader:
 
     def __len__(self) -> int:
         if self.mode == "sequential":
-            return sum(len(ld) for ld in self.loaders)
-        return len(self.loaders) * max(len(ld) for ld in self.loaders)
+            n = sum(len(ld) for ld in self.loaders)
+        else:
+            n = len(self.loaders) * max(len(ld) for ld in self.loaders)
+        if self.superbatch_k > 1:
+            return (n + self.superbatch_k - 1) // self.superbatch_k
+        return n
+
+    @staticmethod
+    def _concat_batches(group: List[Any]) -> Any:
+        if len(group) == 1:
+            return group[0]
+        out = {}
+        for key in group[0]:
+            vals = [g[key] for g in group]
+            if any(key not in g for g in group):
+                raise ValueError(
+                    f"steps_per_execution>1 with multiple TRAIN dataloaders "
+                    f"requires structurally identical batches; key {key!r} "
+                    "missing from one loader's batch")
+            first = vals[0]
+            if isinstance(first, list):
+                out[key] = [x for v in vals for x in v]
+            elif isinstance(first, np.ndarray):
+                out[key] = np.concatenate(vals, axis=0)
+            else:  # jax device arrays (post device_fn)
+                import jax.numpy as jnp
+                try:
+                    out[key] = jnp.concatenate(vals, axis=0)
+                except TypeError as e:
+                    raise ValueError(
+                        "steps_per_execution>1 with multiple TRAIN "
+                        f"dataloaders: cannot concatenate batches for key "
+                        f"{key!r} ({e}); loaders must produce structurally "
+                        "identical batches — set steps_per_execution: 1") from e
+        return out
+
+    def _iter_superbatched(self, it: Iterator[Any], micro: int) -> Iterator[Any]:
+        group: List[Any] = []
+        for batch in it:
+            leaves = [v for v in batch.values()
+                      if isinstance(v, np.ndarray) or hasattr(v, "shape")]
+            bs = leaves[0].shape[0] if leaves else micro
+            if bs != micro:
+                # ragged constituent: flush what we have, pass it through solo
+                if group:
+                    yield self._concat_batches(group)
+                    group = []
+                yield batch
+                continue
+            group.append(batch)
+            if len(group) == self.superbatch_k:
+                yield self._concat_batches(group)
+                group = []
+        if group:
+            yield self._concat_batches(group)
 
     def __iter__(self) -> Iterator[Any]:
+        if self.superbatch_k > 1:
+            yield from self._iter_superbatched(self._iter_base(),
+                                               self.batch_size)
+        else:
+            yield from self._iter_base()
+
+    def _iter_base(self) -> Iterator[Any]:
         if self.mode == "sequential":
             for ld in self.loaders:
                 yield from ld

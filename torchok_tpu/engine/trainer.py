@@ -89,6 +89,9 @@ class Trainer:
         self.mesh = mesh or self._build_mesh(tp)
         self.data_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
+        # announce for mesh-aware ops (fused window attention shard_map)
+        from torchok_tpu.parallel import set_current_mesh
+        set_current_mesh(self.mesh)
 
         # populated during fit
         self.state: Optional[TrainState] = None
@@ -427,15 +430,16 @@ class Trainer:
         self._install_device_fns(val_loaders, train=False)
 
         spe = self.steps_per_execution
+        combined = None
         if len(train_loaders) > 1:
             from torchok_tpu.data.loader import CombinedTrainLoader
-            if spe > 1:
+            if spe > 1 and len({ld.batch_size for ld in train_loaders}) > 1:
                 logger.warning(
-                    "steps_per_execution>1 with multiple TRAIN dataloaders is "
-                    "unsupported (fused super-batches would mix loaders); "
-                    "falling back to one step per execution")
+                    "steps_per_execution>1 with multiple TRAIN dataloaders of "
+                    "differing batch sizes is unsupported; falling back to "
+                    "one step per execution")
                 spe = 1
-            train_loader = CombinedTrainLoader(
+            train_loader = combined = CombinedTrainLoader(
                 train_loaders, mode=self.multiple_trainloader_mode)
         else:
             train_loader = train_loaders[0]
@@ -445,16 +449,25 @@ class Trainer:
         multi_step = None
         if spe > 1:
             multi_step = self._make_multi_train_step(train_step, micro_batch)
-            # loader serves K*B super-batches: one host fetch + one transfer
-            # + one device-transform run per execution
-            train_loader.batch_size = micro_batch * spe
+            if combined is not None:
+                # K consecutive interleaved batches concatenate into one
+                # super-batch; the fused scan replays them in the exact
+                # round-robin order of the unfused loop
+                combined.superbatch_k = spe
+            else:
+                # loader serves K*B super-batches: one host fetch + one
+                # transfer + one device-transform run per execution
+                train_loader.batch_size = micro_batch * spe
         try:
             self._fit_loop(task, train_loader, val_loaders, train_step,
                            multi_step, spe, micro_batch)
         finally:
             # restore: repeated fit() calls must not compound the scaling
             if spe > 1:
-                train_loader.batch_size = micro_batch
+                if combined is not None:
+                    combined.superbatch_k = 1
+                else:
+                    train_loader.batch_size = micro_batch
 
     def _fit_loop(self, task, train_loader, val_loaders, train_step,
                   multi_step, spe, micro_batch) -> None:

@@ -39,15 +39,42 @@ def _search_block(gallery: jnp.ndarray, queries: jnp.ndarray, k: int,
 
 
 class TpuIndex:
-    """Exact flat index over a device-resident gallery."""
+    """Exact flat index over a device-resident gallery.
+
+    Large galleries (reference-realistic SOP scale, ~1.2e5 x 512) are
+    searched in ``gallery_block``-row chunks so the (Q_block, G) similarity
+    tile never exceeds a bounded footprint; per-chunk top-k results merge on
+    the host (k*n_chunks columns — tiny). At most two compiled shapes exist
+    per (k, metric): the full chunk and the ragged tail.
+    """
 
     def __init__(self, vectors: np.ndarray, metric: str = "IP",
-                 query_block: int = 1024):
+                 query_block: int = 1024, gallery_block: int = 32768):
         assert metric in ("IP", "L2")
         self.metric = metric
         self.query_block = query_block
+        self.gallery_block = gallery_block
         self.gallery = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
         self.ntotal = self.gallery.shape[0]
+
+    def _search_queries(self, q: jnp.ndarray, k_eff: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.ntotal <= self.gallery_block:
+            s, ix = _search_block(self.gallery, q, k_eff, self.metric)
+            return np.asarray(s), np.asarray(ix)
+        parts_s, parts_i = [], []
+        for g0 in range(0, self.ntotal, self.gallery_block):
+            gal = self.gallery[g0:g0 + self.gallery_block]
+            kk = min(k_eff, gal.shape[0])
+            s, ix = _search_block(gal, q, kk, self.metric)
+            parts_s.append(np.asarray(s))
+            parts_i.append(np.asarray(ix, np.int64) + g0)
+        S = np.concatenate(parts_s, axis=1)
+        Ix = np.concatenate(parts_i, axis=1)
+        key = -S if self.metric == "IP" else S
+        order = np.argsort(key, axis=1, kind="stable")[:, :k_eff]
+        return (np.take_along_axis(S, order, axis=1),
+                np.take_along_axis(Ix, order, axis=1))
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """faiss parity: when k > ntotal the extra columns are padded with
@@ -61,7 +88,7 @@ class TpuIndex:
         block = self.query_block
         for i in range(0, n, block):
             q = jnp.asarray(queries[i:i + block])
-            s, ix = _search_block(self.gallery, q, k_eff, self.metric)
-            out_scores[i:i + block, :k_eff] = np.asarray(s)
-            out_idxs[i:i + block, :k_eff] = np.asarray(ix)
+            s, ix = self._search_queries(q, k_eff)
+            out_scores[i:i + block, :k_eff] = s
+            out_idxs[i:i + block, :k_eff] = ix
         return out_scores, out_idxs

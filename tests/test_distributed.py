@@ -157,6 +157,44 @@ def test_dp_x_tp_2x2_mesh_four_devices(tmp_path):
     assert "2x2 OK" in proc.stdout
 
 
+def test_dp2_x_tp4_at_eight_devices(tmp_path, multi_devices):
+    """dp=2 x tp=4 on 8 devices — the shapes the driver dryrun exercises,
+    now in the suite (round-2 review: fsdp@8/tp=4 were never run in CI).
+    Run with: TORCHOK_TEST_DEVICES=8 pytest tests/test_distributed.py"""
+    if len(multi_devices) < 8:
+        pytest.skip("needs TORCHOK_TEST_DEVICES=8")
+    optimization = [{"optimizer": {"name": "SGD", "params": {"lr": 0.01}}}]
+
+    def twelve_classes(config):
+        # 12 classes: the class dim must divide tp=4 for the head to shard
+        config.task.params.head_params.num_classes = 12
+        config.data.TRAIN[0].dataset.params.num_classes = 12
+        config.data.VALID[0].dataset.params.num_classes = 12
+        config.metrics[0].params.num_classes = 12
+        return config
+
+    config = twelve_classes(make_config(tmp_path, max_epochs=1,
+                                        optimization=optimization))
+    task1, trainer1 = build(config)
+    trainer1.mesh = Mesh(np.array(multi_devices[:1]), ("data",))
+    trainer1.data_sharding = NamedSharding(trainer1.mesh, P("data"))
+    trainer1.replicated = NamedSharding(trainer1.mesh, P())
+    trainer1.fit(task1)
+    loss1 = trainer1.callback_metrics["train/loss"]
+
+    config2 = twelve_classes(make_config(
+        tmp_path, max_epochs=1, optimization=optimization,
+        trainer_extra={"model_parallel_size": 4, "devices": 8}))
+    task2, trainer2 = build(config2)
+    assert trainer2.mesh.devices.shape == (2, 4)
+    trainer2.fit(task2)
+    loss2 = trainer2.callback_metrics["train/loss"]
+    # sharding is layout, never numerics
+    assert abs(loss1 - loss2) < 1e-3
+    spec = trainer2.state.params["head"]["fc"]["kernel"].sharding.spec
+    assert spec[-1] == "model", f"head kernel not tensor-sharded: {spec}"
+
+
 def test_multi_optimizer_fsdp_state_shards(tmp_path, multi_devices):
     """Tuple opt_state (two optimization groups) must survive fsdp sharding
     and one training step."""

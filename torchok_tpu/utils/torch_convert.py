@@ -135,10 +135,28 @@ def map_efficientnet(parts: Sequence[str]) -> List[str]:
             out = _expand(out, ["se", alt], ["se", parts[i + 1]])
             i += 2
             continue
+        elif p == "bn" and i == len(parts) - 2:
+            # timm ConvBnAct ('cn' stage blocks) names its norm 'bn1'
+            out = _expand(out, ["bn1"], ["bn"])
         else:
             out = _expand(out, [p])
         i += 1
     return [".".join(p[:-1] + [_leaf(p[-1])]) for p in out]
+
+
+def map_mobilenetv3(parts: Sequence[str]) -> List[str]:
+    """mobilenetv3/lcnet/fbnetv3: efficientnet naming, EXCEPT timm builds the
+    final pre-pool 1x1 conv as a trailing ConvBnAct *stage*
+    (``blocks.{N}.0.conv`` / ``blocks.{N}.0.bn1``) while this package keeps
+    it as top-level ``conv_head``/``bn2`` (the post-pool timm ``conv_head``
+    is classifier territory and is not part of the backbone)."""
+    parts = list(parts)
+    if len(parts) == 2 and parts[0] in ("conv_head", "bn2"):
+        leaf = _leaf(parts[1])
+        sub = "conv" if parts[0] == "conv_head" else "bn1"
+        cands = [f"blocks.{i}.0.{sub}.{leaf}" for i in range(1, 9)]
+        return cands + [f"{parts[0]}.{leaf}"]
+    return map_efficientnet(parts)
 
 
 def map_hrnet(parts: Sequence[str]) -> List[str]:
@@ -276,7 +294,7 @@ _FAMILY_MAPPERS: List[Tuple[str, Callable[[Sequence[str]], List[str]]]] = [
     (r"^(resnet|resnext|seresne|ecaresne|ssl_|swsl_|ig_|gluon_|tv_|wide_)", map_resnet),
     (r"^(efficientnet|tf_efficientnet|mnasnet|semnasnet|mobilenetv2|mixnet|"
      r"tinynet|tf_mixnet|spnasnet|fbnetc|eca_efficientnet|gc_efficientnet)", map_efficientnet),
-    (r"^(mobilenetv3|tf_mobilenetv3|fbnetv3|lcnet|tf_lcnet)", map_efficientnet),
+    (r"^(mobilenetv3|tf_mobilenetv3|fbnetv3|lcnet|tf_lcnet)", map_mobilenetv3),
     (r"^hrnet", map_hrnet),
     (r"^swinv2", map_swin),
     (r"^(vit_|deit)", map_vit),
@@ -341,16 +359,30 @@ def convert_state_dict(name: str, state_dict: Dict[str, Any],
             new_leaves.append(leaf)
             continue
         candidates = mapper(parts)
-        hit = next((k for k in candidates if k in sd), None)
+        # first candidate that exists AND fits: a name collision with an
+        # incompatible tensor (e.g. timm mobilenetv3's post-pool conv_head vs
+        # the backbone's pre-pool one) must not shadow the real source
+        fitted, hit, fit_err = None, None, None
+        for k in candidates:
+            if k not in sd:
+                continue
+            t = sd[k]
+            if hasattr(t, "detach"):  # torch tensor w/o importing torch here
+                t = t.detach().cpu().numpy()
+            try:
+                fitted = fit_tensor(np.asarray(t, np.float32), np.shape(leaf),
+                                    "/".join(tokens),
+                                    is_kernel=parts[-1] == "kernel")
+                hit = k
+                break
+            except ValueError as e:
+                fit_err = e
         if hit is None:
+            if fit_err is not None:
+                logger.warning("convert(%s): %s", name, fit_err)
             report.missing.append("/".join(tokens))
             new_leaves.append(leaf)
             continue
-        t = sd[hit]
-        if hasattr(t, "detach"):  # torch tensor without importing torch here
-            t = t.detach().cpu().numpy()
-        fitted = fit_tensor(np.asarray(t, np.float32), np.shape(leaf),
-                            "/".join(tokens), is_kernel=parts[-1] == "kernel")
         new_leaves.append(fitted.astype(np.asarray(leaf).dtype
                                         if hasattr(leaf, "dtype") else np.float32))
         used.add(hit)

@@ -83,9 +83,44 @@ def test_remote_uri_raises_without_fallback(tmp_path):
     assert (tmp_path / "mlruns").exists()
 
 
-def test_wandb_neptune_raise_without_fallback(tmp_path):
-    for name in ("WandbLogger", "NeptuneLogger"):
-        with pytest.raises(ValueError, match="allow_fallback"):
-            LOGGERS.get(name)(log_dir=str(tmp_path))
-        lg = LOGGERS.get(name)(log_dir=str(tmp_path), allow_fallback=True)
-        lg.log_metrics({"m": 1.0}, step=0)  # CSV fallback works
+def test_neptune_raises_without_fallback(tmp_path):
+    with pytest.raises(ValueError, match="allow_fallback"):
+        LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path))
+    lg = LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path), allow_fallback=True)
+    lg.log_metrics({"m": 1.0}, step=0)  # CSV fallback works
+
+
+def test_wandb_offline_run_directory(tmp_path):
+    """WandbLogger writes the documented JSON side of a wandb offline run:
+    config.yaml / wandb-history.jsonl / wandb-summary.json / metadata."""
+    import json
+
+    lg = LOGGERS.get("WandbLogger")(log_dir=str(tmp_path), project="proj",
+                                    name="run1")
+    lg.log_hyperparams({"task": {"name": "ClassificationTask"}, "seed": 7})
+    lg.log_metrics({"train/loss": 2.0, "lr": 0.1}, step=1)
+    lg.log_metrics({"train/loss": 1.5}, step=2)
+    lg.finalize("success")
+
+    runs = list((lg.save_dir / "wandb").glob("offline-run-*"))
+    assert len(runs) == 1
+    files = runs[0] / "files"
+    history = [json.loads(line) for line in
+               (files / "wandb-history.jsonl").read_text().splitlines()]
+    assert [h["_step"] for h in history] == [1, 2]
+    assert history[0]["train/loss"] == 2.0 and history[0]["lr"] == 0.1
+    summary = json.loads((files / "wandb-summary.json").read_text())
+    assert summary["train/loss"] == 1.5  # last value wins
+    assert summary["lr"] == 0.1
+    cfg = (files / "config.yaml").read_text()
+    assert "task.name:" in cfg and 'value: "ClassificationTask"' in cfg
+    meta = json.loads((files / "wandb-metadata.json").read_text())
+    assert meta["state"] == "finished" and meta["project"] == "proj"
+
+
+def test_wandb_online_mode_raises_without_fallback(tmp_path):
+    with pytest.raises(ValueError, match="allow_fallback"):
+        LOGGERS.get("WandbLogger")(log_dir=str(tmp_path), mode="online")
+    lg = LOGGERS.get("WandbLogger")(log_dir=str(tmp_path), mode="online",
+                                    allow_fallback=True)
+    lg.log_metrics({"m": 1.0}, step=0)  # degraded to the offline writer

@@ -196,6 +196,108 @@ class MLFlowLoggerX(MLFlowLogger):
         super().finalize(status)
 
 
+@LOGGERS.register_class
+class WandbLogger(BaseLogger):
+    """Weights & Biases offline-run directory writer (reference registers
+    Lightning's WandbLogger, torchok/constructor/logger.py:192-240).
+
+    No wandb client or network exists here, so this writes the *documented
+    JSON side* of wandb's offline run layout directly::
+
+        <save_dir>/wandb/offline-run-<ts>-<id>/files/
+            config.yaml            # flattened hparams, wandb config style
+            wandb-history.jsonl    # one JSON per log_metrics call (_step/_timestamp)
+            wandb-summary.json     # last value per key
+            wandb-metadata.json    # run metadata (program, start time, state)
+
+    ``wandb sync`` additionally needs the binary ``.wandb`` protobuf record
+    the client produces; that part cannot be fabricated faithfully without
+    the client, so syncing an offline run produced here requires re-logging.
+    ``mode: online`` (or ``offline: false``) therefore raises unless
+    ``allow_fallback: true`` downgrades it to this offline writer.
+    """
+
+    def __init__(self, log_dir: str, experiment_name: str = "default",
+                 timestamp: Optional[str] = None, project: Optional[str] = None,
+                 name: Optional[str] = None, save_dir: Optional[str] = None,
+                 offline: bool = True, mode: str = "offline",
+                 allow_fallback: bool = False, id: Optional[str] = None,
+                 tags: Optional[Any] = None, **params):
+        super().__init__(log_dir, experiment_name, timestamp, **params)
+        if mode == "online" or not offline:
+            if not allow_fallback:
+                raise ValueError(
+                    "WandbLogger: online mode needs the wandb client and "
+                    "network access, which this environment does not have. "
+                    "Use mode: offline (default), or set allow_fallback: "
+                    "true to record an offline run directory instead.")
+            logger.warning("WandbLogger: online mode unavailable; recording "
+                           "an offline run directory instead (allow_fallback)")
+        import secrets
+        run_id = id or secrets.token_hex(4)
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        root = Path(save_dir) if save_dir else self.save_dir
+        self.run_dir = root / "wandb" / f"offline-run-{stamp}-{run_id}"
+        self.files_dir = self.run_dir / "files"
+        self.files_dir.mkdir(parents=True, exist_ok=True)
+        self.run_id = run_id
+        self.project = project or experiment_name
+        self._summary: Dict[str, Any] = {}
+        self._t0 = datetime.datetime.now()
+        meta = {
+            "program": "torchok_tpu",
+            "project": self.project,
+            "run_id": run_id,
+            "name": name or run_id,
+            "startedAt": self._t0.isoformat(),
+            "tags": list(tags) if tags else [],
+            "state": "running",
+        }
+        with open(self.files_dir / "wandb-metadata.json", "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def log_hyperparams(self, hparams) -> None:
+        super().log_hyperparams(hparams)
+        try:
+            data = hparams.to_dict() if isinstance(hparams, ConfigNode) else dict(hparams)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Failed to flatten hparams for wandb config: %s", e)
+            return
+        # wandb config.yaml convention: each key wraps its value in {value:}
+        lines = ["wandb_version: 1", ""]
+        for k, v in sorted(_flatten(data).items()):
+            lines.append(f"{k}:")
+            lines.append(f"  value: {json.dumps(v, default=str)}")
+        (self.files_dir / "config.yaml").write_text("\n".join(lines) + "\n")
+
+    def log_metrics(self, metrics: Dict[str, float], step: int = 0) -> None:
+        row: Dict[str, Any] = {"_step": int(step),
+                               "_timestamp": datetime.datetime.now().timestamp(),
+                               "_runtime": (datetime.datetime.now()
+                                            - self._t0).total_seconds()}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        with open(self.files_dir / "wandb-history.jsonl", "a") as f:
+            f.write(json.dumps(row) + "\n")
+        self._summary.update(row)
+        with open(self.files_dir / "wandb-summary.json", "w") as f:
+            json.dump(self._summary, f)
+
+    def finalize(self, status: str) -> None:
+        meta_path = self.files_dir / "wandb-metadata.json"
+        try:
+            meta = json.loads(meta_path.read_text())
+        except (OSError, ValueError):
+            meta = {}
+        meta["state"] = "finished" if status in ("success", "FINISHED") else str(status)
+        meta["finishedAt"] = datetime.datetime.now().isoformat()
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
+
+
 def _register_fallback(name: str, needs: str):
     @LOGGERS.register_class(name=name)
     class _Fallback(CSVLogger):  # noqa: N801
@@ -205,7 +307,8 @@ def _register_fallback(name: str, needs: str):
                     f"{name} needs {needs}, which this environment does not "
                     "have. Set `allow_fallback: true` in the logger params to "
                     "degrade to CSVLogger explicitly, or use MLFlowLogger[X] "
-                    "(local file store), TensorBoardLogger or CSVLogger.")
+                    "(local file store), WandbLogger (offline run directory), "
+                    "TensorBoardLogger or CSVLogger.")
             logger.warning("%s backend is unavailable in this environment; "
                            "falling back to CSVLogger (allow_fallback)", name)
             kwargs.pop("secrets_path", None)
@@ -214,9 +317,7 @@ def _register_fallback(name: str, needs: str):
     return _Fallback
 
 
-for _name, _needs in (("WandbLogger", "the wandb client and network access"),
-                      ("NeptuneLogger", "the neptune client and network access")):
-    _register_fallback(_name, _needs)
+_register_fallback("NeptuneLogger", "the neptune client and network access")
 
 
 def create_logger(logger_params) -> Optional[BaseLogger]:

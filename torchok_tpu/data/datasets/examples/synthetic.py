@@ -70,17 +70,25 @@ class SyntheticShapesDataset(ImageDataset):
                  image_size: Tuple[int, int] = (32, 32),
                  input_dtype: str = "float32", test_mode: bool = False,
                  train: bool = True, seed: int = 0, noise: float = 24.0,
-                 **kwargs):
+                 hardness: float = 0.0, **kwargs):
+        """``hardness`` in [0, 1] de-saturates accuracy ceilings (round-2
+        review: top-1/recall@1 north-stars pinned at 1.000 could never catch
+        regressions). It overlaps the fg/bg contrast ranges, scales the
+        additive noise, and with probability ``hardness`` adds a
+        half-opacity distractor pattern of a *different* class plus a random
+        occluding rectangle. Distractors/occlusions touch only the image,
+        never the segmentation labels."""
         super().__init__(transform=transform, augment=augment,
                          input_dtype=input_dtype, test_mode=test_mode)
         rng = np.random.default_rng(seed + (0 if train else 10_000_019))
         h, w = image_size
         self.targets = rng.integers(0, self.NUM_CLASSES,
                                     size=(num_samples,)).astype(np.int64)
-        self.images, self.masks = self._render(rng, self.targets, h, w, noise)
+        self.images, self.masks = self._render(rng, self.targets, h, w, noise,
+                                               hardness)
 
-    @staticmethod
-    def _render(rng, targets, h, w, noise):
+    @classmethod
+    def _render(cls, rng, targets, h, w, noise, hardness=0.0):
         n = len(targets)
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         yy = yy[None] / (h - 1)   # (1, h, w) in [0, 1]
@@ -93,11 +101,59 @@ class SyntheticShapesDataset(ImageDataset):
         freq = rng.integers(3, 6, size=(n, 1, 1)).astype(np.float32)
         phase = rng.uniform(0, 1, size=(n, 1, 1)).astype(np.float32)
 
+        masks = cls._pattern_masks(targets, yy, xx, cy, cx, scale, freq,
+                                   phase)
+        fg_lo = 140.0 - 80.0 * hardness
+        bg_hi = 110.0 + 80.0 * hardness
+        fg = rng.uniform(fg_lo, 255, size=(n, 1, 1, 3)).astype(np.float32)
+        bg = rng.uniform(0, bg_hi, size=(n, 1, 1, 3)).astype(np.float32)
+        img = bg + masks[..., None] * (fg - bg)
+        # per-pixel labels BEFORE distractors/occlusion: 0 = background,
+        # class_id + 1 where the pattern is "on" (gradient thresholds at 0.5)
+        seg = (masks > 0.5).astype(np.int64) * (targets[:, None, None] + 1)
+
+        if hardness > 0:
+            # half-opacity distractor of a DIFFERENT class, smaller scale
+            d_targets = (targets + rng.integers(
+                1, cls.NUM_CLASSES, size=targets.shape)) % cls.NUM_CLASSES
+            d_cy = rng.uniform(0.2, 0.8, size=(n, 1, 1)).astype(np.float32)
+            d_cx = rng.uniform(0.2, 0.8, size=(n, 1, 1)).astype(np.float32)
+            d_scale = rng.uniform(0.10, 0.18, size=(n, 1, 1)).astype(np.float32)
+            d_masks = cls._pattern_masks(d_targets, yy, xx, d_cy, d_cx,
+                                         d_scale, freq, 1.0 - phase)
+            # stripe/checker/gradient distractors confined to a local disc so
+            # they distract rather than repaint the whole image
+            rr = np.sqrt((yy - d_cy) ** 2 + (xx - d_cx) ** 2)
+            d_masks = d_masks * (rr < d_scale * 1.8)
+            d_on = (rng.uniform(size=(n, 1, 1)) < hardness).astype(np.float32)
+            d_fg = rng.uniform(0, 255, size=(n, 1, 1, 3)).astype(np.float32)
+            alpha = (0.5 * d_on * d_masks)[..., None]
+            img = img * (1 - alpha) + d_fg * alpha
+
+            # random occluding rectangle (noise-colored), up to ~35% width
+            oy = rng.integers(0, h, size=(n, 1, 1))
+            ox = rng.integers(0, w, size=(n, 1, 1))
+            oh = rng.integers(2, max(3, int(h * 0.35)), size=(n, 1, 1))
+            ow = rng.integers(2, max(3, int(w * 0.35)), size=(n, 1, 1))
+            yy_i = np.mgrid[0:h, 0:w][0][None]
+            xx_i = np.mgrid[0:h, 0:w][1][None]
+            occ = ((yy_i >= oy) & (yy_i < oy + oh)
+                   & (xx_i >= ox) & (xx_i < ox + ow))
+            occ_on = (rng.uniform(size=(n, 1, 1)) < hardness)
+            occ = (occ & occ_on)[..., None]
+            occ_color = rng.uniform(0, 255, size=(n, 1, 1, 3)).astype(np.float32)
+            img = np.where(occ, occ_color, img)
+            noise = noise * (1.0 + 2.0 * hardness)
+
+        img += rng.normal(0, noise, size=img.shape).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8), seg
+
+    @staticmethod
+    def _pattern_masks(targets, yy, xx, cy, cx, scale, freq, phase):
+        masks = np.empty((len(targets),) + yy.shape[1:], np.float32)
         dy, dx = yy - cy, xx - cx
         r = np.sqrt(dy ** 2 + dx ** 2)
         ay, ax = np.abs(dy), np.abs(dx)
-
-        masks = np.empty((n, h, w), np.float32)
         t = targets
         masks[t == 0] = (r < scale)[t == 0]                              # disc
         masks[t == 1] = (np.maximum(ay, ax) < scale)[t == 1]             # square
@@ -111,15 +167,7 @@ class SyntheticShapesDataset(ImageDataset):
         masks[t == 8] = ((r < scale) & (r > scale * 0.55))[t == 8]       # ring
         masks[t == 9] = ((np.minimum(np.abs(dy - dx), np.abs(dy + dx))
                           < scale * 0.35) & (r < scale * 1.6))[t == 9]   # X
-
-        fg = rng.uniform(140, 255, size=(n, 1, 1, 3)).astype(np.float32)
-        bg = rng.uniform(0, 110, size=(n, 1, 1, 3)).astype(np.float32)
-        img = bg + masks[..., None] * (fg - bg)
-        img += rng.normal(0, noise, size=img.shape).astype(np.float32)
-        # per-pixel labels: 0 = background, class_id + 1 where the pattern is
-        # "on" (gradient class thresholds at 0.5)
-        seg = (masks > 0.5).astype(np.int64) * (targets[:, None, None] + 1)
-        return np.clip(img, 0, 255).astype(np.uint8), seg
+        return masks
 
     def __len__(self) -> int:
         return len(self.images)

@@ -129,6 +129,55 @@ def test_rfp(pyramid):
     assert outs[0].shape == (2, 32, 32, 128)
 
 
+def test_rfp_backbone_recursion():
+    """True DetectoRS recursion: the neck re-runs its own backbone on the
+    image with per-stage ASPP feedback. At init the zero-init rfp_weight
+    gate mixes refined/previous 50/50 (mmdet constant_init(rfp_weight, 0));
+    the feedback path must carry gradient end to end."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    # feature channels of resnet10t stages 2..4
+    from torchok_tpu.constructor import BACKBONES
+    bb = BACKBONES.get("resnet10t")()
+    bvars = bb.init(jax.random.PRNGKey(1), img, False)
+    feats = bb.apply(bvars, img, False, method=bb.forward_features)[-3:]
+    in_ch = tuple(f.shape[-1] for f in feats)
+
+    neck = DETECTION_NECKS.get("RFP")(
+        in_channels=in_ch, out_channels=32, num_outs=3, rfp_steps=2,
+        rfp_backbone_name="resnet10t")
+    assert neck.requires_image
+    inputs = [img] + list(feats)
+    variables = neck.init(jax.random.PRNGKey(0), inputs)
+    assert "rfp_backbone" in variables["params"]
+    # the internal backbone got its per-stage feedback injection convs
+    bb_params = variables["params"]["rfp_backbone"]
+    assert any(k.startswith("rfp_conv") for k in bb_params), list(bb_params)[:8]
+    outs = neck.apply(variables, inputs,
+                      mutable=["batch_stats"])[0]
+    assert len(outs) == 3 and outs[0].shape == (1, 8, 8, 32)
+    for o in outs:
+        assert bool(jnp.all(jnp.isfinite(o)))
+
+    def loss(params):
+        o = neck.apply({"params": params,
+                        "batch_stats": variables.get("batch_stats", {})},
+                       inputs, mutable=["batch_stats"])[0]
+        return sum(jnp.sum(x ** 2) for x in o)
+
+    g = jax.grad(loss)(variables["params"])
+    gb = g["rfp_backbone"]
+    total = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(gb))
+    assert np.isfinite(total) and total > 0
+    # the zero-init injection convs must receive gradient (dL/dW is upstream
+    # x aspp activations, nonzero even though the kernels start at 0 — ASPP
+    # params themselves only start learning once these kernels move)
+    g_inject = sum(float(jnp.abs(jax.tree_util.tree_leaves(v)[0]).sum())
+                   for k, v in gb.items() if k.startswith("rfp_conv"))
+    assert g_inject > 0
+
+
 def test_dyhead(pyramid):
     outs = _run("DyHead", pyramid, out_channels=128, num_blocks=2)
     assert len(outs) == 3

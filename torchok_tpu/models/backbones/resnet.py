@@ -271,12 +271,14 @@ class ResNet(BaseBackbone):
         x = nn.relu(x)
         return x
 
-    def _stages(self, x: jnp.ndarray, train: bool) -> List[jnp.ndarray]:
+    def _stages(self, x: jnp.ndarray, train: bool,
+                rfp_feats: Optional[List] = None) -> List[jnp.ndarray]:
         feats = []
         block_cls = self._block_cls
         in_planes = self._stem_channels
         total_blocks = sum(self.layers)
         block_idx = 0
+        n_stages = len(self.layers)
         for stage_idx, (spec, depth) in enumerate(zip(self._stage_plan(), self.layers)):
             for b in range(depth):
                 stride = spec["stride"] if b == 0 else 1
@@ -300,6 +302,22 @@ class ResNet(BaseBackbone):
                 x = block_cls(**kwargs)(x, train)
                 block_idx += 1
             in_planes = spec["planes"] * self._expansion
+            # DetectoRS-style recursive feedback (reference capability: mmdet
+            # RFP re-runs the backbone with per-stage feedback,
+            # torchok/models/necks/detection/mmdet_necks.py:6-20): the
+            # feedback list aligns with the LAST len(rfp_feats) stages and is
+            # injected through a zero-init 1x1 conv, so step 0 of the
+            # recursion is exactly the plain backbone.
+            if rfp_feats is not None:
+                fb_idx = stage_idx - (n_stages - len(rfp_feats))
+                if 0 <= fb_idx < len(rfp_feats) and rfp_feats[fb_idx] is not None:
+                    fb = nn.Conv(x.shape[-1], (1, 1), use_bias=True,
+                                 kernel_init=nn.initializers.zeros,
+                                 bias_init=nn.initializers.zeros,
+                                 dtype=self.dtype,
+                                 name=f"rfp_conv{stage_idx + 1}")(
+                        rfp_feats[fb_idx].astype(x.dtype))
+                    x = nn.relu(x + fb)
             feats.append(x)
         return feats
 
@@ -308,7 +326,8 @@ class ResNet(BaseBackbone):
         return self.forward_features(x, train)[-1]
 
     @nn.compact
-    def forward_features(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+    def forward_features(self, x: jnp.ndarray, train: bool = False,
+                         rfp_feats: Optional[List] = None) -> List[jnp.ndarray]:
         inp = x
         x = self._stem(x, train)
         stem_feat = x
@@ -322,7 +341,7 @@ class ResNet(BaseBackbone):
             x = blur_pool(x, stride=2)
         else:
             x = max_pool(x, window=3, stride=2, padding=1)
-        feats = self._stages(x, train)
+        feats = self._stages(x, train, rfp_feats)
         return [inp, stem_feat] + feats
 
     def get_stages(self, stage: int) -> List[str]:

@@ -637,52 +637,118 @@ class _ASPP(nn.Module):
 
 @DETECTION_NECKS.register_class
 class RFP(BaseModel):
-    """Recursive Feature Pyramid (DetectoRS), unrolled: ``rfp_steps`` rounds
-    of FPN refinement where each round's output passes through an ASPP
-    feedback module and is fused back with a learned sigmoid gate. The
-    original re-runs the backbone with feedback; in a functional framework
-    that coupling belongs to the model, so the neck keeps the
-    feedback-and-fuse recursion over the pyramid itself."""
+    """Recursive Feature Pyramid (DetectoRS; reference via mmdet,
+    torchok/models/necks/detection/mmdet_necks.py:6-20).
+
+    With ``rfp_backbone_name`` set this matches DetectoRS semantics: the
+    neck owns a SECOND backbone ("recursive" copy, its own weights, like
+    mmdet's ``rfp_backbone``); each recursion step runs FPN, turns each
+    level's output into an ASPP feedback feature, RE-RUNS the internal
+    backbone on the input image with the feedback injected per stage
+    through zero-init 1x1 convs (``ResNet.forward_features(rfp_feats=...)``),
+    runs the SHARED FPN on the recursed features and fuses old/new levels
+    with a shared zero-init sigmoid gate (mmdet's ``rfp_weight``). The task
+    feeds the image as ``inputs[0]`` when ``requires_image`` is True.
+
+    Without a backbone name the round-2 behavior remains: the same
+    FPN/ASPP/gate recursion applied to the pyramid only (cheaper; no
+    backbone re-run)."""
     in_channels: Tuple[int, ...] = ()
     out_channels: int = 256
     num_outs: int = 5
     rfp_steps: int = 2
+    rfp_backbone_name: Optional[str] = None
+    rfp_backbone_params: Any = None
     dtype: Any = None
+
+    @property
+    def requires_image(self) -> bool:
+        return self.rfp_backbone_name is not None
 
     @nn.compact
     def __call__(self, inputs: List[jnp.ndarray], train: bool = False):
-        fpn = FPN_module = None  # readability only
+        img = None
+        if self.requires_image:
+            img, inputs = inputs[0], list(inputs[1:])
+        n_levels = len(inputs)
 
-        def run_fpn(feats, prefix):
-            laterals = [
-                nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name=f"{prefix}_lateral_{i}")(x)
-                for i, x in enumerate(feats)
-            ]
-            for i in range(len(laterals) - 1, 0, -1):
-                laterals[i - 1] = laterals[i - 1] + resize_nearest(
-                    laterals[i], laterals[i - 1].shape[1:3])
-            return [
-                _conv(self.out_channels, 3, name=f"{prefix}_out_{i}",
-                      dtype=self.dtype)(laterals[i])
-                for i in range(len(laterals))
-            ]
+        if self.requires_image:
+            # DetectoRS mode: the recursed backbone reproduces the original
+            # stage channels, so ONE set of FPN/ASPP/gate module instances
+            # is created and reused across steps — in Flax, calling the same
+            # instance again shares its parameters (mmdet reuses
+            # super().forward / rfp_aspp / rfp_weight the same way).
+            lateral_convs = [nn.Conv(self.out_channels, (1, 1),
+                                     dtype=self.dtype,
+                                     name=f"fpn_lateral_{i}")
+                             for i in range(n_levels)]
+            out_convs = [_conv(self.out_channels, 3, name=f"fpn_out_{i}",
+                               dtype=self.dtype) for i in range(n_levels)]
+            aspp_mods = [_ASPP(self.out_channels, dtype=self.dtype,
+                               name=f"aspp_{i}") for i in range(n_levels)]
+            # mmdet rfp_weight: single shared zero-init 1x1 -> sigmoid gate
+            # (sigmoid(0) = 0.5: refined and previous mix equally at init)
+            gate_conv = nn.Conv(1, (1, 1),
+                                kernel_init=nn.initializers.zeros,
+                                bias_init=nn.initializers.zeros,
+                                dtype=self.dtype, name="rfp_weight")
 
-        outs = run_fpn(inputs, "fpn0")
-        for step in range(1, self.rfp_steps):
-            feedback = [
-                _ASPP(self.out_channels, dtype=self.dtype,
-                      name=f"aspp{step}_{i}")(x)
-                for i, x in enumerate(outs)
-            ]
-            refined = run_fpn(feedback, f"fpn{step}")
-            fused = []
-            for i, (o, r) in enumerate(zip(outs, refined)):
-                gate = jax.nn.sigmoid(nn.Conv(
-                    self.out_channels, (1, 1), dtype=self.dtype,
-                    name=f"gate{step}_{i}")(r))
-                fused.append(gate * r + (1 - gate) * o)
-            outs = fused
+            def run_fpn(feats):
+                laterals = [conv(x) for conv, x in zip(lateral_convs, feats)]
+                for i in range(len(laterals) - 1, 0, -1):
+                    laterals[i - 1] = laterals[i - 1] + resize_nearest(
+                        laterals[i], laterals[i - 1].shape[1:3])
+                return [conv(x) for conv, x in zip(out_convs, laterals)]
+
+            from torchok_tpu.constructor import BACKBONES
+            params = dict(self.rfp_backbone_params or {})
+            params.setdefault("pretrained", False)
+            rfp_backbone = BACKBONES.get(self.rfp_backbone_name)(
+                dtype=self.dtype, name="rfp_backbone", **params)
+
+            outs = run_fpn(inputs)
+            for step in range(1, self.rfp_steps):
+                feedback = [aspp(x) for aspp, x in zip(aspp_mods, outs)]
+                feats = rfp_backbone.forward_features(
+                    img, train=train, rfp_feats=feedback)[-n_levels:]
+                refined = run_fpn(feats)
+                outs = [jax.nn.sigmoid(gate_conv(r)) * r
+                        + (1 - jax.nn.sigmoid(gate_conv(r))) * o
+                        for o, r in zip(outs, refined)]
+        else:
+            # pyramid-only refinement (round-2 behavior, no backbone
+            # re-run): feedback channels differ from the input pyramid's, so
+            # each step gets its own FPN parameters
+            def run_fpn_step(feats, prefix):
+                laterals = [
+                    nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name=f"{prefix}_lateral_{i}")(x)
+                    for i, x in enumerate(feats)
+                ]
+                for i in range(len(laterals) - 1, 0, -1):
+                    laterals[i - 1] = laterals[i - 1] + resize_nearest(
+                        laterals[i], laterals[i - 1].shape[1:3])
+                return [
+                    _conv(self.out_channels, 3, name=f"{prefix}_out_{i}",
+                          dtype=self.dtype)(laterals[i])
+                    for i in range(len(laterals))
+                ]
+
+            outs = run_fpn_step(inputs, "fpn0")
+            for step in range(1, self.rfp_steps):
+                feedback = [
+                    _ASPP(self.out_channels, dtype=self.dtype,
+                          name=f"aspp{step}_{i}")(x)
+                    for i, x in enumerate(outs)
+                ]
+                refined = run_fpn_step(feedback, f"fpn{step}")
+                fused = []
+                for i, (o, r) in enumerate(zip(outs, refined)):
+                    gate = jax.nn.sigmoid(nn.Conv(
+                        self.out_channels, (1, 1), dtype=self.dtype,
+                        name=f"gate{step}_{i}")(r))
+                    fused.append(gate * r + (1 - gate) * o)
+                outs = fused
         while len(outs) < self.num_outs:
             outs.append(max_pool(outs[-1], window=1, stride=2, padding=0))
         return outs

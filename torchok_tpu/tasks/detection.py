@@ -26,11 +26,19 @@ class DetectionModel(nn.Module):
     num_scales: int = 4
     decode_predictions: bool = False
 
+    def _neck_forward(self, x, train: bool):
+        features = self.backbone.forward_features(x, train=train)[-self.num_scales:]
+        if self.neck is None:
+            return features
+        if getattr(self.neck, "requires_image", False):
+            # recursive necks (RFP) re-run their own backbone on the image
+            return self.neck([x] + features, train=train)
+        return self.neck(features, train=train)
+
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, Any]:
         x = batch["image"]
-        features = self.backbone.forward_features(x, train=train)[-self.num_scales:]
-        neck_out = self.neck(features, train=train) if self.neck is not None else features
+        neck_out = self._neck_forward(x, train)
         head_out = self.bbox_head(neck_out, train=train)
         output = self.bbox_head.format_dict(head_out)
         output["img_shape"] = jnp.asarray(x.shape[1:3])
@@ -54,8 +62,7 @@ class DetectionModel(nn.Module):
         return output
 
     def forward(self, image: jnp.ndarray):
-        features = self.backbone.forward_features(image, train=False)[-self.num_scales:]
-        neck_out = self.neck(features, train=False) if self.neck is not None else features
+        neck_out = self._neck_forward(image, train=False)
         head_out = self.bbox_head(neck_out, train=False)
         preds = self.bbox_head.get_bboxes(
             **self.bbox_head.format_dict(head_out),

@@ -172,9 +172,11 @@ def main():
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         results["resnet50_224_bs256"] = {"error": str(e)[:200]}
     try:
-        # bs 128: the transpose-free attention layout trades ~240 MB of HBM
-        # headroom for +12% step time; bs 256 without remat no longer fits
-        # the 16 GB chip (grad_checkpointing recovers it for real training)
+        # bs 128 (bs 256 without remat does not fit the 16 GB chip;
+        # grad_checkpointing recovers it for real training). Round 3: the
+        # fully fused Pallas window-attention kernel (fwd+bwd, partition/
+        # reverse folded into BlockSpecs, ops/swin_attention.py) is the TPU
+        # default — 729 img/s vs 497 for the XLA formulation on v5e.
         results["swinv2_tiny_256_bs128"] = bench_case(
             "swinv2_tiny_window8_256", 256, 128, k=10, reps=3)
     except Exception as e:  # noqa: BLE001

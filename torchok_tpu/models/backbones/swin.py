@@ -27,6 +27,9 @@ from torchok_tpu.constructor import BACKBONES
 from torchok_tpu.models.base import BaseBackbone
 from torchok_tpu.models.modules.bricks.mlp import Mlp
 from torchok_tpu.ops.common import DropPath, trunc_normal_init
+from torchok_tpu.ops.swin_attention import (_ShardFallback,
+                                            fused_attention_enabled,
+                                            fused_swin_attention)
 from torchok_tpu.ops.window_attention import window_attention
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
@@ -97,9 +100,16 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  train: bool = False) -> jnp.ndarray:
-        b_, l, c = x.shape
+        """x is either pre-partitioned windows (B_, L, C) — the XLA
+        formulation — or the full (pre-rolled, padded) spatial map
+        (B, Hp, Wp, C), in which case the fused Pallas kernel handles
+        partition/attention/reverse in one pass (same parameters either
+        way; ``mask`` is always the compact (nW, L, L) additive form)."""
+        spatial = x.ndim == 4
+        c = x.shape[-1]
         h = self.num_heads
         d = c // h
+        l = self.window_size * self.window_size if spatial else x.shape[1]
 
         logit_scale = self.param(
             "logit_scale", nn.initializers.constant(math.log(10.0)), (h,))
@@ -114,22 +124,40 @@ class WindowAttention(nn.Module):
         bias = cpb[idx.reshape(-1)].reshape(l, l, h).transpose(2, 0, 1)
         bias = 16.0 * nn.sigmoid(bias)
 
-        # qkv with q/v bias only (SwinV2)
+        # qkv with q/v bias only (SwinV2); a Dense is pointwise over
+        # positions, so it runs identically on windows or the spatial map
         qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(x)
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (c,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (c,))
             qkv = qkv + jnp.concatenate(
                 [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(qkv.dtype)
-        # slice straight into (B_, L, H, D): the 5D reshape+transpose this
-        # replaces forced XLA relayout copies worth ~20% of a swinv2_tiny
-        # train step (see window_attention "blhd" docstring)
-        q = qkv[..., :c].reshape(b_, l, h, d)
-        k = qkv[..., c:2 * c].reshape(b_, l, h, d)
-        v = qkv[..., 2 * c:].reshape(b_, l, h, d)
 
-        out = window_attention(q, k, v, logit_scale, bias, mask, layout="blhd")
-        out = out.reshape(b_, l, c)
+        if spatial:
+            b, hp, wp, _ = qkv.shape
+            try:
+                out = fused_swin_attention(qkv, logit_scale, bias, mask,
+                                           ws=self.window_size, nheads=h)
+            except _ShardFallback:
+                # batch does not divide the active mesh's data axes: run the
+                # XLA formulation on explicit windows instead
+                win = window_partition(qkv, self.window_size)  # (B*nW, L, 3C)
+                q = win[..., :c].reshape(-1, l, h, d)
+                k = win[..., c:2 * c].reshape(-1, l, h, d)
+                v = win[..., 2 * c:].reshape(-1, l, h, d)
+                ow = window_attention(q, k, v, logit_scale, bias, mask,
+                                      layout="blhd").reshape(-1, l, c)
+                out = window_reverse(ow, self.window_size, hp, wp)
+        else:
+            b_ = x.shape[0]
+            # slice straight into (B_, L, H, D): the 5D reshape+transpose
+            # this replaces forced XLA relayout copies worth ~20% of a
+            # swinv2_tiny train step (see window_attention "blhd" docstring)
+            q = qkv[..., :c].reshape(b_, l, h, d)
+            k = qkv[..., c:2 * c].reshape(b_, l, h, d)
+            v = qkv[..., 2 * c:].reshape(b_, l, h, d)
+            out = window_attention(q, k, v, logit_scale, bias, mask,
+                                   layout="blhd").reshape(b_, l, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -166,6 +194,9 @@ class SwinBlock(nn.Module):
         hp, wp = hgt + pad_h, wdt + pad_w
 
         if shift > 0:
+            # roll the thin C-wide activations once here (roll commutes with
+            # the pointwise qkv/proj Denses) instead of rolling partitioned
+            # or 3C-wide copies downstream
             x_sp = jnp.roll(x_sp, (-shift, -shift), axis=(1, 2))
             ids = jnp.asarray(_shift_window_region_ids(hp, wp, ws, shift))
             # compact (nW, L, L) additive mask computed in-graph — only the
@@ -175,12 +206,18 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        windows = window_partition(x_sp, ws)  # (B*nW, L, C)
-        attn_out = WindowAttention(
+        attn_mod = WindowAttention(
             self.dim, self.num_heads, ws, self.pretrained_window_size,
             self.qkv_bias, self.attn_drop, self.drop, dtype=self.dtype,
-            name="attn")(windows, mask, train)
-        x_sp = window_reverse(attn_out, ws, hp, wp)
+            name="attn")
+        if fused_attention_enabled(ws, wp, self.num_heads, c):
+            # fused Pallas path: partition/attention/reverse in one kernel
+            # on the spatial layout — no window relayout copies in XLA
+            x_sp = attn_mod(x_sp, mask, train)
+        else:
+            windows = window_partition(x_sp, ws)  # (B*nW, L, C)
+            attn_out = attn_mod(windows, mask, train)
+            x_sp = window_reverse(attn_out, ws, hp, wp)
 
         if shift > 0:
             x_sp = jnp.roll(x_sp, (shift, shift), axis=(1, 2))

@@ -1,0 +1,443 @@
+"""Fully fused SwinV2 shifted-window attention (Pallas TPU), forward AND
+backward.
+
+Reference semantics: torchok/models/backbones/swin.py:84-283 — cosine
+attention with learned per-head log temperature clamped at log(100),
+continuous relative position bias, additive -100 mask between regions of a
+shifted window. The round-2 xplane profile of the XLA formulation showed
+where a swinv2_tiny_256 train step actually goes: ~19% window-partition
+relayout copies, ~12% unfused f32 softmax chain, ~22% XLA panic-remat from
+the (B*nW, H, L, L) logits tensor living in HBM. This kernel removes all
+three at once:
+
+* **No partition/reverse copies.** The qkv projection runs on the
+  *unpartitioned* (B, Hp, Wp, 3C) spatial tensor (a Dense is pointwise over
+  positions, so it commutes with windowing) and the kernel's BlockSpecs walk
+  one row of windows per program — the (ws, Wp) stripe is DMA'd straight
+  from HBM, windows are sliced in VMEM.
+* **Cyclic shift stays outside but runs on the thin tensor**: roll commutes
+  with pointwise ops, so SwinBlock rolls the C-wide activations once before
+  qkv and once after proj instead of materializing rolled/partitioned
+  copies of the 3C-wide qkv.
+* **Logits never touch HBM.** Cosine normalization, the QK^T matmul, bias,
+  compact per-window-type mask, f32 softmax and the PV matmul all happen in
+  VMEM per window.
+* **Fused backward.** A second kernel recomputes attention per window in
+  VMEM and emits dqkv in one pass; dbias/dscale accumulate across the
+  sequential grid via output revisiting. (Round 2's kernel lost end-to-end
+  precisely because its backward was an XLA recompute of the unfused path.)
+
+Multi-chip: when a mesh with >1 device is active
+(torchok_tpu.parallel.get_current_mesh), both kernels run under
+``shard_map`` over the batch axis with dbias/dscale psummed in-body, so the
+op composes with the engine's GSPMD dp/fsdp step.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+LOG2_100 = math.log(100.0)
+_EPS = 1e-12
+
+# VMEM budget gate: bias (+dbias in bwd) and the revisited accumulators must
+# stay resident for the whole grid. Above this estimate the caller should
+# fall back to the XLA formulation (e.g. swinv2_large window-24, L=576).
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def fused_attention_vmem_estimate(ws: int, wp: int, nheads: int, c: int) -> int:
+    """Rough backward-pass VMEM footprint (the larger of the two kernels)."""
+    L = ws * ws
+    bias = nheads * L * L * 4 * 2          # bias + dbias accumulator
+    blocks = (2 * (3 * c) + 2 * c + 2 * (3 * c)) * ws * wp * 2  # qkv/dout/dqkv, dbl-buffered bf16
+    mask = (wp // ws) * L * L * 4
+    scratch = nheads * L * 4 + 4 * L * L * 4
+    return bias + blocks + mask + scratch
+
+
+def _norm_rows(x):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx, has_mask):
+    """One row of ``ngx`` windows per program. Every matmul is a single
+    batched dot_general over the window axis — per-window unrolling issued
+    24+ tiny VPU/MXU ops per row and ran ~5x slower (round-3 TPU probe)."""
+    if has_mask:
+        mask_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    L = ws * ws
+    c3 = qkv_ref.shape[-1]
+    C = c3 // 3
+    D = C // nheads
+    # (ws, Wp, 3C) -> (ngx, L, 3C): major-dim swap, a cheap VMEM relayout
+    row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
+    row = row.reshape(ngx, L, c3)
+    bn = (((2,), (2,)), ((0,), (0,)))  # batched contract-last
+    heads = []
+    for h in range(nheads):
+        q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+        k = row[:, :, C + h * D:C + (h + 1) * D].astype(jnp.float32)
+        v = row[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        # normalize in f32, matmul in the input dtype (f32xf32 has no
+        # native MXU path; unit vectors round to bf16 at ~2^-9 relative)
+        qn = _norm_rows(q).astype(row.dtype)
+        kn = _norm_rows(k).astype(row.dtype)
+        logits = jax.lax.dot_general(qn, kn, bn,
+                                     preferred_element_type=jnp.float32)
+        logits = logits * scale_ref[0, h] + bias_ref[h][None]
+        if has_mask:
+            logits = logits + mask_ref[...]
+        a = jax.nn.softmax(logits, axis=-1).astype(row.dtype)
+        heads.append(jax.lax.dot_general(
+            a, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(heads, axis=-1)  # (ngx, L, C)
+    o = o.reshape(ngx, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, ngx * ws, C)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
+                ws, nheads, ngx, has_mask):
+    if has_mask:
+        mask_ref, dqkv_ref, dbias_ref, dscale_ref = rest
+    else:
+        dqkv_ref, dbias_ref, dscale_ref = rest
+    L = ws * ws
+    c3 = qkv_ref.shape[-1]
+    C = c3 // 3
+    D = C // nheads
+
+    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(is_first)
+    def _():
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+        dscale_ref[...] = jnp.zeros(dscale_ref.shape, dscale_ref.dtype)
+
+    row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
+    row = row.reshape(ngx, L, c3)
+    drow = dout_ref[0].reshape(ws, ngx, ws, C).transpose(1, 0, 2, 3)
+    drow = drow.reshape(ngx, L, C)
+    dheads = []
+    for h in range(nheads):
+        q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+        k = row[:, :, C + h * D:C + (h + 1) * D].astype(jnp.float32)
+        v = row[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+        do = drow[:, :, h * D:(h + 1) * D]
+        s = scale_ref[0, h]
+
+        rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + _EPS)
+        rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + _EPS)
+        qn32, kn32 = q * rq, k * rk
+        qn, kn = qn32.astype(row.dtype), kn32.astype(row.dtype)
+        cos = jax.lax.dot_general(qn, kn, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        logits = cos * s + bias_ref[h][None]
+        if has_mask:
+            logits = logits + mask_ref[...]
+        a32 = jax.nn.softmax(logits, axis=-1)
+        a = a32.astype(row.dtype)
+
+        # dV[b,k,d] = sum_q A[b,q,k] dO[b,q,d]
+        dv = jax.lax.dot_general(a, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # dA[b,q,k] = sum_d dO[b,q,d] V[b,k,d]
+        da = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # softmax backward -> dlogits
+        dl = a32 * (da - jnp.sum(da * a32, axis=-1, keepdims=True))
+
+        dbias_ref[h] = dbias_ref[h] + jnp.sum(dl, axis=0)
+        dscale_ref[h, :] = dscale_ref[h, :] + jnp.sum(dl * cos, axis=(0, 2))
+
+        dls = (dl * s).astype(row.dtype)
+        # dqn[b,q,d] = sum_k dls[b,q,k] kn[b,k,d]
+        dqn = jax.lax.dot_general(dls, kn, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        # dkn[b,k,d] = sum_q dls[b,q,k] qn[b,q,d]
+        dkn = jax.lax.dot_general(dls, qn, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        # through the f32 row normalization: d(x*r) with r=rsqrt(ss+eps)
+        dq = rq * dqn - (rq ** 3) * q * jnp.sum(q * dqn, -1, keepdims=True)
+        dk = rk * dkn - (rk ** 3) * k * jnp.sum(k * dkn, -1, keepdims=True)
+        dheads.append((dq, dk, dv))
+
+    dq_all = jnp.concatenate([t[0] for t in dheads], axis=-1)
+    dk_all = jnp.concatenate([t[1] for t in dheads], axis=-1)
+    dv_all = jnp.concatenate([t[2] for t in dheads], axis=-1)
+    dtile_out = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)  # (ngx,L,3C)
+    dtile_out = dtile_out.reshape(ngx, ws, ws, c3).transpose(1, 0, 2, 3)
+    dqkv_ref[0] = dtile_out.reshape(ws, ngx * ws, c3).astype(dqkv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret):
+    B, Hp, Wp, c3 = qkv.shape
+    C = c3 // 3
+    L = ws * ws
+    ngy, ngx = Hp // ws, Wp // ws
+    has_mask = mask is not None
+    kernel = functools.partial(_fwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
+                               has_mask=has_mask)
+    in_specs = [
+        pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scale_row, qkv, bias]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((ngx, L, L), lambda b, g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, ngy),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ws, Wp, C), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hp * Wp * nheads * L * (C // nheads),
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
+            transcendentals=B * Hp * Wp * L,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret):
+    B, Hp, Wp, c3 = qkv.shape
+    C = c3 // 3
+    L = ws * ws
+    ngy, ngx = Hp // ws, Wp // ws
+    has_mask = mask is not None
+    kernel = functools.partial(_bwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
+                               has_mask=has_mask)
+    in_specs = [
+        pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ws, Wp, C), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scale_row, qkv, bias, dout]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((ngx, L, L), lambda b, g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, Hp, Wp, c3), qkv.dtype),      # dqkv
+        jax.ShapeDtypeStruct((nheads, L, L), jnp.float32),      # dbias (revisited)
+        jax.ShapeDtypeStruct((nheads, L), jnp.float32),         # dscale rows
+    )
+    out_specs = (
+        pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nheads, L), lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, ngy),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * Hp * Wp * nheads * L * (C // nheads),
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 3,
+            transcendentals=B * Hp * Wp * L,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _maybe_shard(fn, mesh, n_in_batch_sharded, n_out_batch_sharded,
+                 n_out_summed, batch):
+    """Wrap a pallas caller in shard_map over the mesh's data axes when a
+    multi-device mesh is active and the batch divides evenly. Inputs beyond
+    the first ``n_in_batch_sharded`` are replicated; outputs beyond the
+    first ``n_out_batch_sharded`` are partial sums that the body psums."""
+    if mesh is None or mesh.devices.size <= 1:
+        return fn
+    data_axes = tuple(ax for ax in mesh.axis_names if ax != "model")
+    dp = 1
+    for ax in data_axes:
+        dp *= mesh.shape[ax]
+    if dp <= 1 or batch % dp != 0:
+        return None  # caller falls back to XLA formulation
+
+    def body(*args):
+        outs = fn(*args)
+        if not isinstance(outs, tuple):
+            return outs
+        outs = list(outs)
+        for i in range(n_out_batch_sharded, len(outs)):
+            outs[i] = jax.lax.psum(outs[i], data_axes)
+        return tuple(outs)
+
+    def spec(i, n_sharded):
+        return P(data_axes) if i < n_sharded else P()
+
+    n_in = n_in_batch_sharded["n_args"]
+    in_specs = tuple(spec(i, n_in_batch_sharded["sharded"]) for i in range(n_in))
+    n_out = n_out_batch_sharded + n_out_summed
+    if n_out == 1:
+        out_specs = P(data_axes)
+    else:
+        out_specs = tuple(spec(i, n_out_batch_sharded) for i in range(n_out))
+    return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_vma=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(ws: int, nheads: int, has_mask: bool, interpret: bool):
+    """custom_vjp-wrapped fused op for one static (ws, heads, mask?) config.
+
+    Forward/backward both consult the active mesh at trace time, so the same
+    cached op instance works single-chip and under shard_map'd dp/fsdp.
+    """
+    fwd_impl = functools.partial(_fwd_pallas, ws=ws, nheads=nheads,
+                                 interpret=interpret)
+    bwd_impl = functools.partial(_bwd_pallas, ws=ws, nheads=nheads,
+                                 interpret=interpret)
+    nargs = 4 if has_mask else 3
+
+    def _mesh():
+        from torchok_tpu.parallel import get_current_mesh
+        return get_current_mesh()
+
+    def _run_fwd(qkv, scale_row, bias, mask):
+        def flat(qkv_, scale_, bias_, *m):
+            return fwd_impl(qkv_, scale_, bias_, m[0] if m else None)
+        args = (qkv, scale_row, bias) + ((mask,) if has_mask else ())
+        wrapped = _maybe_shard(flat, _mesh(),
+                               {"n_args": nargs, "sharded": 1}, 1, 0,
+                               qkv.shape[0])
+        if wrapped is None:
+            raise _ShardFallback()
+        return wrapped(*args)
+
+    def _run_bwd(qkv, scale_row, bias, mask, g):
+        # batch-sharded args (qkv, dout) lead so _maybe_shard's prefix rule
+        # shards exactly them and replicates the rest
+        def flat(qkv_, dout_, scale_, bias_, *m):
+            return bwd_impl(qkv_, scale_, bias_, m[0] if m else None, dout_)
+        args = (qkv, g, scale_row, bias) + ((mask,) if has_mask else ())
+        wrapped = _maybe_shard(flat, _mesh(),
+                               {"n_args": nargs + 1, "sharded": 2}, 1, 2,
+                               qkv.shape[0])
+        if wrapped is None:
+            raise _ShardFallback()
+        return wrapped(*args)
+
+    if has_mask:
+        @jax.custom_vjp
+        def op(qkv, scale_row, bias, mask):
+            return _run_fwd(qkv, scale_row, bias, mask)
+
+        def fwd(qkv, scale_row, bias, mask):
+            return op(qkv, scale_row, bias, mask), (qkv, scale_row, bias, mask)
+
+        def bwd(res, g):
+            qkv, scale_row, bias, mask = res
+            dqkv, dbias, dscale_rows = _run_bwd(qkv, scale_row, bias, mask, g)
+            dscale = jnp.sum(dscale_rows, axis=-1).reshape(scale_row.shape)
+            return dqkv, dscale, dbias, jnp.zeros_like(mask)
+    else:
+        @jax.custom_vjp
+        def op(qkv, scale_row, bias):
+            return _run_fwd(qkv, scale_row, bias, None)
+
+        def fwd(qkv, scale_row, bias):
+            return op(qkv, scale_row, bias), (qkv, scale_row, bias)
+
+        def bwd(res, g):
+            qkv, scale_row, bias = res
+            dqkv, dbias, dscale_rows = _run_bwd(qkv, scale_row, bias, None, g)
+            dscale = jnp.sum(dscale_rows, axis=-1).reshape(scale_row.shape)
+            return dqkv, dscale, dbias
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+class _ShardFallback(Exception):
+    """Batch does not divide the data axes — caller must use the XLA path."""
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+def fused_attention_enabled(ws: int, wp: int, nheads: int, c: int) -> bool:
+    """Dispatch policy for the fused kernel.
+
+    TORCHOK_WINDOW_ATTN_PALLAS: "0" disables, "1" forces (interpret mode
+    off-TPU — for tests), unset/"auto" enables on TPU when the VMEM
+    estimate fits (large-window variants like swinv2_large_window24 fall
+    back to the XLA formulation).
+    """
+    import os
+    v = os.environ.get("TORCHOK_WINDOW_ATTN_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v != "1" and jax.default_backend() != "tpu":
+        return False
+    return fused_attention_vmem_estimate(ws, wp, nheads, c) <= _VMEM_BUDGET_BYTES
+
+
+def fused_swin_attention(qkv: jnp.ndarray, logit_scale: jnp.ndarray,
+                         bias: jnp.ndarray, mask: Optional[jnp.ndarray],
+                         ws: int, nheads: int,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused shifted-window attention on the unpartitioned spatial layout.
+
+    Args:
+        qkv: (B, Hp, Wp, 3C) — qkv projection of the (possibly pre-rolled)
+            feature map; Hp, Wp multiples of ``ws``; C = nheads * head_dim.
+        logit_scale: (H,) learned log temperatures (clamped at log 100).
+        bias: (H, L, L) continuous relative position bias, L = ws*ws.
+        mask: compact (nW, L, L) additive window-type mask (row-major window
+            order), or None for unshifted blocks.
+        ws, nheads: static window size / head count.
+        interpret: force Pallas interpreter (defaults to True off-TPU).
+
+    Returns:
+        (B, Hp, Wp, C) attention output, same dtype as ``qkv``.
+
+    Raises:
+        _ShardFallback if a multi-device mesh is active and the per-call
+        batch does not divide its data axes (caller falls back to XLA).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scale_row = jnp.exp(jnp.minimum(
+        logit_scale.astype(jnp.float32), LOG2_100)).reshape(1, -1)
+    bias = bias.astype(jnp.float32)
+    if mask is None:
+        return _build(ws, nheads, False, interpret)(qkv, scale_row, bias)
+    return _build(ws, nheads, True, interpret)(
+        qkv, scale_row, bias, mask.astype(jnp.float32))

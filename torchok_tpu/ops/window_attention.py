@@ -191,19 +191,16 @@ def window_attention(q, k, v, logit_scale, bias, mask=None,
     mask (B_, L, L) additive (callers tile the per-window-type mask over
     the batch).
 
-    Backend choice: XLA is the default. The opt-in Pallas path
-    (TORCHOK_WINDOW_ATTN_PALLAS=1) runs the multi-window blocked kernel
-    forward (G windows x head per program, unpadded head dim, full compact
-    mask resident in VMEM) with an XLA recompute backward via custom_vjp —
-    pallas_call has no autodiff rule of its own. Measured on v5e
-    (swinv2_tiny_256 bs128 train): 465 img/s hybrid vs 497 img/s XLA — the
-    fused forward wins but the recompute backward gives it back; a fused
-    backward kernel is the remaining step if this path should take over.
+    Backend choice: XLA by default. ``use_pallas=True`` opts into the
+    round-2 multi-window blocked kernel (fused forward, XLA recompute
+    backward via custom_vjp) — kept for comparison, but superseded by
+    ``ops/swin_attention.fused_swin_attention``, the round-3 fully fused
+    forward+backward kernel that also folds window partition/reverse into
+    its BlockSpecs and is what SwinV2 dispatches to on TPU (see
+    TORCHOK_WINDOW_ATTN_PALLAS there).
     """
     if use_pallas is None:
-        import os
-        use_pallas = os.environ.get("TORCHOK_WINDOW_ATTN_PALLAS", "0") == "1" \
-            and jax.default_backend() == "tpu"
+        use_pallas = False
     if use_pallas:
         L = bias.shape[-1]
         if mask is None:

@@ -26,6 +26,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The engine announces its mesh here so mesh-aware ops (e.g. the fused
+# Pallas window attention, which must wrap itself in shard_map to compose
+# with the GSPMD step) can pick it up at trace time without threading the
+# mesh through every module.
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def get_current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
+
 def build_mesh(devices: Optional[Sequence] = None,
                axis_names: Sequence[str] = ("data",),
                model_parallel: int = 1) -> Mesh:

@@ -269,21 +269,41 @@ def map_davit(parts: Sequence[str]) -> List[str]:
 
 
 def map_gcvit(parts: Sequence[str]) -> List[str]:
-    """gcvit (timm naming via reference gcvit.py:18): stem + stages.{i}."""
+    """gcvit (timm naming via reference gcvit.py:18 — the reference imports
+    ``timm.models.gcvit`` Stem/GlobalContextVitStage directly).
+
+    timm itself is absent from this environment, so unlike the other eight
+    families this mapper has no torch forward oracle; the candidate lists
+    below encode timm 0.6.x's gcvit layout (downsample attached to the
+    FOLLOWING stage's input; FeatureBlock convs named blocks.conv{i+1};
+    WindowAttentionGlobal keeps the name 'qkv' for its 2C global
+    projection; Downsample2d's post-norm named norm2) with our canonical
+    names as fallbacks — conversion is fit-checked, so a wrong guess is
+    reported as missing rather than misrouted."""
     out: List[List[str]] = [[]]
     for p in parts:
         if (m := re.fullmatch(r"level_(\d+)_block_(\d+)", p)):
             out = _expand(out, ["stages", m[1], "blocks", m[2]])
         elif (m := re.fullmatch(r"level_(\d+)_downsample", p)):
-            out = _expand(out, ["stages", m[1], "downsample"])
+            out = _expand(out, ["stages", str(int(m[1]) + 1), "downsample"],
+                          ["stages", m[1], "downsample"])
         elif (m := re.fullmatch(r"q_global_gen_(\d+)", p)):
             out = _expand(out, ["stages", m[1], "global_block"],
                           ["stages", m[1], "q_global_gen"])
+        elif (m := re.fullmatch(r"block_(\d+)", p)):
+            out = _expand(out, ["blocks", f"conv{int(m[1]) + 1}"], [p])
+        elif p == "kv":
+            out = _expand(out, ["qkv"], ["kv"])
+        elif (m := re.fullmatch(r"gamma(\d)", p)):
+            out = _expand(out, [p], [f"ls{m[1]}", "gamma"])
+        elif p == "norm":
+            out = _expand(out, ["norm3"], ["norms", "3"], ["norm"],
+                          ["norm2"])
         elif p == "stem_conv":
             out = _expand(out, ["stem", "conv1"])
         elif p == "stem_reduce":
             out = _expand(out, ["stem", "down"], ["stem", "downsample"])
-        elif p == "se" and True:
+        elif p == "se":
             out = _expand(out, ["se"], ["attn"])
         else:
             out = _expand(out, [p])

@@ -131,6 +131,33 @@ def test_swinblock_fused_path_matches_xla_path(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_grad_checkpointing_composes_with_fused_path(monkeypatch):
+    """nn.remat around SwinBlock must compose with the custom_vjp Pallas op
+    (forward recomputed, fused backward kernel invoked once)."""
+    from torchok_tpu.models.backbones.swin import SwinTransformerV2
+    monkeypatch.setenv("TORCHOK_WINDOW_ATTN_PALLAS", "1")
+    model = SwinTransformerV2(img_size=16, patch_size=4, window_size=2,
+                              embed_dim=8, depths=(2,), num_heads=(2,),
+                              drop_path_rate=0.0, grad_checkpointing=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, False)
+
+    def loss(params):
+        return jnp.sum(model.apply({"params": params}, x, False) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    total = sum(float(jnp.abs(t).sum()) for t in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+    # gradients must match the XLA path's
+    monkeypatch.setenv("TORCHOK_WINDOW_ATTN_PALLAS", "0")
+    g_ref = jax.grad(loss)(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_enabled_gate_respects_vmem_budget(monkeypatch):
     monkeypatch.setenv("TORCHOK_WINDOW_ATTN_PALLAS", "1")
     assert fused_attention_enabled(8, 64, 3, 96)

@@ -188,6 +188,11 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(head["images_per_sec_per_chip"]
                              / REFERENCE_T4_IMG_PER_SEC, 3),
+        "vs_baseline_note": ("divisor ~1100 img/s is an UNMEASURED estimate "
+                             "of the reference's fp16 CIFAR recipe on its T4 "
+                             "CI box (the reference publishes no numbers and "
+                             "cannot run here: timm/lightning/mmcv absent); "
+                             "MFU is the defensible metric"),
         "mfu": head.get("mfu"),
         "device_kind": jax.devices()[0].device_kind,
         "extras": results,

@@ -154,7 +154,10 @@ def map_mobilenetv3(parts: Sequence[str]) -> List[str]:
     if len(parts) == 2 and parts[0] in ("conv_head", "bn2"):
         leaf = _leaf(parts[1])
         sub = "conv" if parts[0] == "conv_head" else "bn1"
-        cands = [f"blocks.{i}.0.{sub}.{leaf}" for i in range(1, 9)]
+        # the trailing ConvBnAct stage is always the LAST block group; scan
+        # descending so an earlier block's same-named norm can never shadow
+        # it by shape coincidence
+        cands = [f"blocks.{i}.0.{sub}.{leaf}" for i in range(8, 0, -1)]
         return cands + [f"{parts[0]}.{leaf}"]
     return map_efficientnet(parts)
 

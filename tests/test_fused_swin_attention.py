@@ -158,6 +158,28 @@ def test_grad_checkpointing_composes_with_fused_path(monkeypatch):
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_polymorphic_batch_export_falls_back_to_xla(monkeypatch):
+    """jax.export with a symbolic batch dim cannot stage a Pallas grid; the
+    spatial path must fall back to the XLA formulation so StableHLO export
+    of SwinV2 keeps working with the fused kernel enabled."""
+    from torchok_tpu.models.backbones.swin import SwinTransformerV2
+    monkeypatch.setenv("TORCHOK_WINDOW_ATTN_PALLAS", "1")
+    model = SwinTransformerV2(img_size=16, patch_size=4, window_size=2,
+                              embed_dim=8, depths=(2,), num_heads=(2,),
+                              drop_path_rate=0.0)
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, False)
+
+    b = jax.export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b[0], 16, 16, 3), jnp.float32)
+    vspec = jax.tree_util.tree_map(
+        lambda t: jax.ShapeDtypeStruct(jnp.shape(t), t.dtype), v)
+    exported = jax.export.export(
+        jax.jit(lambda vv, xx: model.apply(vv, xx, False)))(vspec, spec)
+    out = exported.call(v, jnp.zeros((3, 16, 16, 3), jnp.float32))
+    assert out.shape[0] == 3
+
+
 def test_enabled_gate_respects_vmem_budget(monkeypatch):
     monkeypatch.setenv("TORCHOK_WINDOW_ATTN_PALLAS", "1")
     assert fused_attention_enabled(8, 64, 3, 96)

@@ -136,6 +136,10 @@ class WindowAttention(nn.Module):
         if spatial:
             b, hp, wp, _ = qkv.shape
             try:
+                if not isinstance(b, int):
+                    # symbolic batch (jax.export polymorphic dim): a Pallas
+                    # grid needs static shapes — use the XLA formulation
+                    raise _ShardFallback()
                 out = fused_swin_attention(qkv, logit_scale, bias, mask,
                                            ws=self.window_size, nheads=h)
             except _ShardFallback:

@@ -104,7 +104,11 @@ class WindowAttention(nn.Module):
         formulation — or the full (pre-rolled, padded) spatial map
         (B, Hp, Wp, C), in which case the fused Pallas kernel handles
         partition/attention/reverse in one pass (same parameters either
-        way; ``mask`` is always the compact (nW, L, L) additive form)."""
+        way; ``mask`` is always the compact (nW, L, L) additive form).
+
+        ``attn_drop`` is accepted for reference-surface parity but not
+        applied to the attention weights (every shipped swinv2 variant uses
+        0.0; ``proj_drop`` is applied)."""
         spatial = x.ndim == 4
         c = x.shape[-1]
         h = self.num_heads

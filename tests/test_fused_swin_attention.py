@@ -76,6 +76,48 @@ def test_backward_matches_xla(data, masked):
             err_msg=f"gradient mismatch for {name}")
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_packed_geometry_matches_xla(masked):
+    """Even window count per row triggers two-window packing (block-diagonal
+    -1e9 bias between windows): forward AND gradients must still match the
+    unpacked XLA reference exactly."""
+    hp, wp, ws, h, d = 4, 16, 4, 2, 8
+    c = h * d
+    L = ws * ws
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(2, hp, wp, 3 * c)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, L, L)), jnp.float32)
+    m = None
+    if masked:
+        ids = jnp.asarray(_shift_window_region_ids(hp, wp, ws, ws // 2))
+        m = jnp.where(ids[:, :, None] != ids[:, None, :], -100.0, 0.0)
+
+    def ref_fn(qkv_, s_, b_):
+        win = window_partition(qkv_, ws)
+        q = win[..., :c].reshape(-1, L, h, d)
+        k = win[..., c:2 * c].reshape(-1, L, h, d)
+        v = win[..., 2 * c:].reshape(-1, L, h, d)
+        out = _window_attention_xla(q, k, v, s_, b_, m, layout="blhd")
+        return window_reverse(out.reshape(-1, L, c), ws, hp, wp)
+
+    def fused_fn(qkv_, s_, b_):
+        return fused_swin_attention(qkv_, s_, b_, m, ws=ws, nheads=h,
+                                    interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_fn(qkv, scale, bias)),
+        np.asarray(ref_fn(qkv, scale, bias)), rtol=2e-4, atol=2e-4)
+    g_ref = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                     argnums=(0, 1, 2))(qkv, scale, bias)
+    g_got = jax.grad(lambda *a: jnp.sum(fused_fn(*a) ** 2),
+                     argnums=(0, 1, 2))(qkv, scale, bias)
+    for a, b_, name in zip(g_got, g_ref, ("dqkv", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"packed gradient mismatch {name}")
+
+
 def test_bf16_forward_close_to_f32(data):
     qkv, scale, bias, mask = data
     ref = _ref(qkv, scale, bias, mask)

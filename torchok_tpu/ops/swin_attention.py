@@ -57,10 +57,13 @@ _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 def fused_attention_vmem_estimate(ws: int, wp: int, nheads: int, c: int) -> int:
     """Rough backward-pass VMEM footprint (the larger of the two kernels)."""
     L = ws * ws
-    bias = nheads * L * L * 4 * 2          # bias + dbias accumulator
+    ngx = max(wp // ws, 1)
+    pack = _PACK if ngx % _PACK == 0 and L < 128 else 1
+    Lp = pack * L
+    bias = nheads * Lp * Lp * 4 * 2        # packed bias + dbias accumulator
     blocks = (2 * (3 * c) + 2 * c + 2 * (3 * c)) * ws * wp * 2  # qkv/dout/dqkv, dbl-buffered bf16
-    mask = (wp // ws) * L * L * 4
-    scratch = nheads * L * 4 + 4 * L * L * 4
+    mask = (ngx // pack) * Lp * Lp * 4
+    scratch = nheads * Lp * 4 + 4 * Lp * Lp * 4
     return bias + blocks + mask + scratch
 
 
@@ -71,21 +74,30 @@ def _norm_rows(x):
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx, has_mask):
+def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
+                has_mask, pack=1):
     """One row of ``ngx`` windows per program. Every matmul is a single
     batched dot_general over the window axis — per-window unrolling issued
-    24+ tiny VPU/MXU ops per row and ran ~5x slower (round-3 TPU probe)."""
+    24+ tiny VPU/MXU ops per row and ran ~5x slower (round-3 TPU probe).
+
+    ``pack`` merges that many adjacent windows into one attention group on
+    the SUBLANE (token) axis: with L=64 and pack=2 the matmuls become
+    128x128 on M/N (full MXU face) at 2x masked FLOPs; ``bias_ref`` /
+    ``mask_ref`` arrive pre-packed block-diagonally with -1e9 between
+    windows, which makes the packed softmax exactly block-diagonal."""
     if has_mask:
         mask_ref, out_ref = rest
     else:
         (out_ref,) = rest
     L = ws * ws
+    Lp = pack * L
+    ng = ngx // pack
     c3 = qkv_ref.shape[-1]
     C = c3 // 3
     D = C // nheads
     # (ws, Wp, 3C) -> (ngx, L, 3C): major-dim swap, a cheap VMEM relayout
     row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
-    row = row.reshape(ngx, L, c3)
+    row = row.reshape(ng, Lp, c3)
     bn = (((2,), (2,)), ((0,), (0,)))  # batched contract-last
     heads = []
     for h in range(nheads):
@@ -105,18 +117,20 @@ def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx, has_mask):
         heads.append(jax.lax.dot_general(
             a, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))
-    o = jnp.concatenate(heads, axis=-1)  # (ngx, L, C)
+    o = jnp.concatenate(heads, axis=-1)  # (ng, Lp, C)
     o = o.reshape(ngx, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, ngx * ws, C)
     out_ref[0] = o.astype(out_ref.dtype)
 
 
 def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
-                ws, nheads, ngx, has_mask):
+                ws, nheads, ngx, has_mask, pack=1):
     if has_mask:
         mask_ref, dqkv_ref, dbias_ref, dscale_ref = rest
     else:
         dqkv_ref, dbias_ref, dscale_ref = rest
     L = ws * ws
+    Lp = pack * L
+    ng = ngx // pack
     c3 = qkv_ref.shape[-1]
     C = c3 // 3
     D = C // nheads
@@ -129,9 +143,9 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
         dscale_ref[...] = jnp.zeros(dscale_ref.shape, dscale_ref.dtype)
 
     row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
-    row = row.reshape(ngx, L, c3)
+    row = row.reshape(ng, Lp, c3)
     drow = dout_ref[0].reshape(ws, ngx, ws, C).transpose(1, 0, 2, 3)
-    drow = drow.reshape(ngx, L, C)
+    drow = drow.reshape(ng, Lp, C)
     dheads = []
     for h in range(nheads):
         q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
@@ -187,27 +201,64 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
+_PACK = 2          # windows merged per attention group when ngx divides
+_NEG = -1e9        # cross-window block fill (softmax-exact block diagonality)
+
+
+def _pick_pack(ngx: int, L: int) -> int:
+    # pack only when it helps fill the 128-lane MXU face and divides the row
+    return _PACK if ngx % _PACK == 0 and L < 128 else 1
+
+
+def _pack_bias(bias, pack):
+    """(H, L, L) -> (H, pL, pL): bias on diagonal blocks, -1e9 elsewhere."""
+    if pack == 1:
+        return bias
+    H, L, _ = bias.shape
+    out = jnp.full((H, pack * L, pack * L), _NEG, jnp.float32)
+    for i in range(pack):
+        out = out.at[:, i * L:(i + 1) * L, i * L:(i + 1) * L].set(bias)
+    return out
+
+
+def _pack_mask(mask, pack):
+    """(nW, L, L) -> (nW//pack, pL, pL): per-window masks on the diagonal
+    (adjacent windows are consecutive in nW); cross blocks 0 (the packed
+    bias already carries -1e9 there)."""
+    if pack == 1:
+        return mask
+    nW, L, _ = mask.shape
+    m4 = mask.reshape(nW // pack, pack, L, L)
+    out = jnp.zeros((nW // pack, pack * L, pack * L), jnp.float32)
+    for i in range(pack):
+        out = out.at[:, i * L:(i + 1) * L, i * L:(i + 1) * L].set(m4[:, i])
+    return out
+
+
 def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret):
     B, Hp, Wp, c3 = qkv.shape
     C = c3 // 3
     L = ws * ws
     ngy, ngx = Hp // ws, Wp // ws
+    pack = _pick_pack(ngx, L)
+    Lp = pack * L
     has_mask = mask is not None
     kernel = functools.partial(_fwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
-                               has_mask=has_mask)
+                               has_mask=has_mask, pack=pack)
     in_specs = [
         pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+        pl.BlockSpec((nheads, Lp, Lp), lambda b, g: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [scale_row, qkv, bias]
+    args = [scale_row, qkv, _pack_bias(bias, pack)]
     if has_mask:
-        in_specs.append(pl.BlockSpec((ngx, L, L), lambda b, g: (g, 0, 0),
+        in_specs.append(pl.BlockSpec((ngx // pack, Lp, Lp),
+                                     lambda b, g: (g, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mask)
+        args.append(_pack_mask(mask, pack))
     return pl.pallas_call(
         kernel,
         grid=(B, ngy),
@@ -216,9 +267,12 @@ def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), qkv.dtype),
         cost_estimate=pl.CostEstimate(
+            # USEFUL flops (unpacked): the packed matmuls burn 2x on masked
+            # cross-window blocks, but counting those would inflate the
+            # bench's achieved-TFLOPs/MFU numbers
             flops=4 * B * Hp * Wp * nheads * L * (C // nheads),
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
-            transcendentals=B * Hp * Wp * L,
+            transcendentals=B * Hp * Wp * Lp,
         ),
         interpret=interpret,
     )(*args)
@@ -229,50 +283,62 @@ def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret):
     C = c3 // 3
     L = ws * ws
     ngy, ngx = Hp // ws, Wp // ws
+    pack = _pick_pack(ngx, L)
+    Lp = pack * L
     has_mask = mask is not None
     kernel = functools.partial(_bwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
-                               has_mask=has_mask)
+                               has_mask=has_mask, pack=pack)
     in_specs = [
         pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+        pl.BlockSpec((nheads, Lp, Lp), lambda b, g: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ws, Wp, C), lambda b, g: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [scale_row, qkv, bias, dout]
+    args = [scale_row, qkv, _pack_bias(bias, pack), dout]
     if has_mask:
-        in_specs.append(pl.BlockSpec((ngx, L, L), lambda b, g: (g, 0, 0),
+        in_specs.append(pl.BlockSpec((ngx // pack, Lp, Lp),
+                                     lambda b, g: (g, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mask)
+        args.append(_pack_mask(mask, pack))
     out_shapes = (
-        jax.ShapeDtypeStruct((B, Hp, Wp, c3), qkv.dtype),      # dqkv
-        jax.ShapeDtypeStruct((nheads, L, L), jnp.float32),      # dbias (revisited)
-        jax.ShapeDtypeStruct((nheads, L), jnp.float32),         # dscale rows
+        jax.ShapeDtypeStruct((B, Hp, Wp, c3), qkv.dtype),       # dqkv
+        jax.ShapeDtypeStruct((nheads, Lp, Lp), jnp.float32),    # dbias (revisited)
+        jax.ShapeDtypeStruct((nheads, Lp), jnp.float32),        # dscale rows
     )
     out_specs = (
         pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+        pl.BlockSpec((nheads, Lp, Lp), lambda b, g: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, L), lambda b, g: (0, 0),
+        pl.BlockSpec((nheads, Lp), lambda b, g: (0, 0),
                      memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    dqkv, dbias_p, dscale_p = pl.pallas_call(
         kernel,
         grid=(B, ngy),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
+            # useful flops (see forward): masked cross-window work excluded
             flops=12 * B * Hp * Wp * nheads * L * (C // nheads),
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 3,
-            transcendentals=B * Hp * Wp * L,
+            transcendentals=B * Hp * Wp * Lp,
         ),
         interpret=interpret,
     )(*args)
+    if pack > 1:
+        # fold the packed diagonal blocks back: cross blocks carry exactly
+        # zero gradient (their attention weights are softmax(-1e9) = 0)
+        dbias = sum(dbias_p[:, i * L:(i + 1) * L, i * L:(i + 1) * L]
+                    for i in range(pack))
+        dscale_rows = sum(dscale_p[:, i * L:(i + 1) * L] for i in range(pack))
+        return dqkv, dbias, dscale_rows
+    return dqkv, dbias_p, dscale_p
 
 
 def _maybe_shard(fn, mesh, n_in_batch_sharded, n_out_batch_sharded,

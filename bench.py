@@ -176,7 +176,7 @@ def main():
         # grad_checkpointing recovers it for real training). Round 3: the
         # fully fused Pallas window-attention kernel (fwd+bwd, partition/
         # reverse folded into BlockSpecs, ops/swin_attention.py) is the TPU
-        # default — 729 img/s vs 497 for the XLA formulation on v5e.
+        # default — 742.8 img/s vs 497 for the XLA formulation on v5e.
         results["swinv2_tiny_256_bs128"] = bench_case(
             "swinv2_tiny_window8_256", 256, 128, k=10, reps=3)
     except Exception as e:  # noqa: BLE001

@@ -24,16 +24,20 @@ class SEModule(nn.Module):
     rd_divisor: int = 8
     act: Callable = nn.relu
     gate: Callable = nn.sigmoid
+    use_bias: bool = True  # timm SEModule(bias=...): gcvit's MbConv SE is bias-free
+    round_limit: float = 0.9
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         channels = x.shape[-1]
-        rd = self.rd_channels or make_divisible(channels * self.rd_ratio, self.rd_divisor)
+        rd = self.rd_channels or make_divisible(
+            channels * self.rd_ratio, self.rd_divisor,
+            round_limit=self.round_limit)
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(rd, (1, 1), use_bias=True, dtype=self.dtype, name="fc1")(s)
+        s = nn.Conv(rd, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="fc1")(s)
         s = self.act(s)
-        s = nn.Conv(channels, (1, 1), use_bias=True, dtype=self.dtype, name="fc2")(s)
+        s = nn.Conv(channels, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="fc2")(s)
         return x * self.gate(s)
 
 

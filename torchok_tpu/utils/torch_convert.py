@@ -275,41 +275,24 @@ def map_gcvit(parts: Sequence[str]) -> List[str]:
     """gcvit (timm naming via reference gcvit.py:18 — the reference imports
     ``timm.models.gcvit`` Stem/GlobalContextVitStage directly).
 
-    timm itself is absent from this environment, so unlike the other eight
-    families this mapper has no torch forward oracle; the candidate lists
-    below encode timm 0.6.x's gcvit layout (downsample attached to the
-    FOLLOWING stage's input; FeatureBlock convs named blocks.conv{i+1};
-    WindowAttentionGlobal keeps the name 'qkv' for its 2C global
-    projection; Downsample2d's post-norm named norm2) with our canonical
-    names as fallbacks — conversion is fit-checked, so a wrong guess is
-    reported as missing rather than misrouted."""
+    The Flax module tree (models/backbones/gcvit.py) mirrors timm 0.6.x's
+    layout, so the map is near-identity: ``stages_{i}`` -> ``stages.{i}``,
+    ``blocks_{b}`` -> ``blocks.{b}``, and the FeatureBlock's ``conv{j}``
+    children sit under an nn.Sequential named ``blocks`` in timm
+    (``global_block.blocks.conv{j}``). Torch-oracle forward equivalence:
+    tests/test_torch_convert_gcvit.py."""
     out: List[List[str]] = [[]]
+    prev = ""
     for p in parts:
-        if (m := re.fullmatch(r"level_(\d+)_block_(\d+)", p)):
-            out = _expand(out, ["stages", m[1], "blocks", m[2]])
-        elif (m := re.fullmatch(r"level_(\d+)_downsample", p)):
-            out = _expand(out, ["stages", str(int(m[1]) + 1), "downsample"],
-                          ["stages", m[1], "downsample"])
-        elif (m := re.fullmatch(r"q_global_gen_(\d+)", p)):
-            out = _expand(out, ["stages", m[1], "global_block"],
-                          ["stages", m[1], "q_global_gen"])
-        elif (m := re.fullmatch(r"block_(\d+)", p)):
-            out = _expand(out, ["blocks", f"conv{int(m[1]) + 1}"], [p])
-        elif p == "kv":
-            out = _expand(out, ["qkv"], ["kv"])
-        elif (m := re.fullmatch(r"gamma(\d)", p)):
-            out = _expand(out, [p], [f"ls{m[1]}", "gamma"])
-        elif p == "norm":
-            out = _expand(out, ["norm3"], ["norms", "3"], ["norm"],
-                          ["norm2"])
-        elif p == "stem_conv":
-            out = _expand(out, ["stem", "conv1"])
-        elif p == "stem_reduce":
-            out = _expand(out, ["stem", "down"], ["stem", "downsample"])
-        elif p == "se":
-            out = _expand(out, ["se"], ["attn"])
+        if (m := re.fullmatch(r"stages_(\d+)", p)):
+            out = _expand(out, ["stages", m[1]])
+        elif (m := re.fullmatch(r"blocks_(\d+)", p)):
+            out = _expand(out, ["blocks", m[1]])
+        elif prev == "global_block" and re.fullmatch(r"conv\d+", p):
+            out = _expand(out, ["blocks", p])
         else:
             out = _expand(out, [p])
+        prev = p
     return [".".join(p[:-1] + [_leaf(p[-1])]) for p in out]
 
 

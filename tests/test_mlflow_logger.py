@@ -83,11 +83,43 @@ def test_remote_uri_raises_without_fallback(tmp_path):
     assert (tmp_path / "mlruns").exists()
 
 
-def test_neptune_raises_without_fallback(tmp_path):
+def test_neptune_offline_container(tmp_path):
+    """NeptuneLogger writes a neptune-1.x-style offline operation journal:
+    .neptune/offline/run__<uuid>/{data-1.log, run.json}."""
+    import json
+
+    lg = LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path), project="proj",
+                                      name="run1")
+    lg.log_hyperparams({"task": {"name": "ClassificationTask"}, "seed": 7,
+                        "use_ema": True})
+    lg.log_metrics({"train/loss": 2.0, "lr": 0.1}, step=1)
+    lg.log_metrics({"train/loss": 1.5}, step=2)
+    lg.finalize("success")
+
+    runs = list((lg.save_dir / ".neptune" / "offline").glob("run__*"))
+    assert len(runs) == 1
+    ops = [json.loads(line) for line in
+           (runs[0] / "data-1.log").read_text().splitlines()]
+    loss_ops = [o for o in ops if o["path"] == ["train", "loss"]]
+    assert [o["type"] for o in loss_ops] == ["LogFloats", "LogFloats"]
+    assert [(o["values"][0]["value"], o["values"][0]["step"])
+            for o in loss_ops] == [(2.0, 1), (1.5, 2)]
+    by_path = {tuple(o["path"]): o for o in ops}
+    assert by_path[("parameters", "task", "name")]["value"] == "ClassificationTask"
+    assert by_path[("parameters", "seed")]["type"] == "AssignFloat"
+    assert by_path[("parameters", "use_ema")]["type"] == "AssignBool"
+    meta = json.loads((runs[0] / "run.json").read_text())
+    assert meta["state"] == "idle" and meta["project"] == "proj"
+    assert meta["sys/id"].startswith("OFFLINE-")
+
+
+def test_neptune_online_mode_raises_without_fallback(tmp_path):
     with pytest.raises(ValueError, match="allow_fallback"):
-        LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path))
-    lg = LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path), allow_fallback=True)
-    lg.log_metrics({"m": 1.0}, step=0)  # CSV fallback works
+        LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path), mode="async")
+    lg = LOGGERS.get("NeptuneLogger")(log_dir=str(tmp_path), mode="async",
+                                      allow_fallback=True)
+    lg.log_metrics({"m": 1.0}, step=0)  # degraded to the offline writer
+    assert list((lg.save_dir / ".neptune" / "offline").glob("run__*"))
 
 
 def test_wandb_offline_run_directory(tmp_path):

@@ -4,8 +4,10 @@ Output-directory convention matches the reference: ``log_dir/experiment_name/
 timestamp`` (reference logger.py:52-73). TensorBoard and CSV are native;
 MLFlowLogger[X] write a real mlruns file-store tree (no mlflow client
 needed — utils/mlflow_store.py) including MLFlowLoggerX artifact upload;
-Wandb/Neptune need client libraries and network access absent here and
-RAISE unless ``allow_fallback: true`` explicitly degrades them to CSV.
+Wandb writes a real offline run directory and Neptune a real offline
+operation-journal container; their *online* modes need clients/network
+absent here and RAISE unless ``allow_fallback: true`` degrades them to
+their offline writers.
 """
 from __future__ import annotations
 
@@ -298,26 +300,111 @@ class WandbLogger(BaseLogger):
             json.dump(meta, f, indent=2)
 
 
-def _register_fallback(name: str, needs: str):
-    @LOGGERS.register_class(name=name)
-    class _Fallback(CSVLogger):  # noqa: N801
-        def __init__(self, *args, allow_fallback: bool = False, **kwargs):
+@LOGGERS.register_class
+class NeptuneLogger(BaseLogger):
+    """Neptune offline-container writer (reference registers Lightning's
+    NeptuneLogger, torchok/constructor/logger.py:227-233, which forwards
+    params to ``neptune.init_run``).
+
+    The neptune 1.x client in ``mode: offline`` records runs locally as an
+    operation journal under ``.neptune/offline/run__<uuid>/`` — one JSON
+    operation per attribute write — to be uploaded later with
+    ``neptune sync``. No neptune client or network exists here, so this
+    writes that journal shape directly::
+
+        <save_dir>/.neptune/offline/run__<uuid>/
+            data-1.log       # one JSON op/line: AssignString|AssignFloat|LogFloats
+            run.json         # container metadata (sys/id, state, timestamps)
+
+    ``neptune sync`` additionally validates against the client's internal
+    sqlite bookkeeping, so uploading a run recorded here requires re-logging
+    through the real client; the journal is for local inspection/parsing.
+    Online modes (``async``/``sync``) need the client+network and raise
+    unless ``allow_fallback: true`` degrades them to this offline writer.
+    """
+
+    def __init__(self, log_dir: str, experiment_name: str = "default",
+                 timestamp: Optional[str] = None, project: Optional[str] = None,
+                 name: Optional[str] = None, mode: str = "offline",
+                 api_key: Optional[str] = None, allow_fallback: bool = False,
+                 tags: Optional[Any] = None, **params):
+        params.pop("secrets_path", None)
+        super().__init__(log_dir, experiment_name, timestamp, **params)
+        if mode not in ("offline", "debug"):
             if not allow_fallback:
                 raise ValueError(
-                    f"{name} needs {needs}, which this environment does not "
-                    "have. Set `allow_fallback: true` in the logger params to "
-                    "degrade to CSVLogger explicitly, or use MLFlowLogger[X] "
-                    "(local file store), WandbLogger (offline run directory), "
-                    "TensorBoardLogger or CSVLogger.")
-            logger.warning("%s backend is unavailable in this environment; "
-                           "falling back to CSVLogger (allow_fallback)", name)
-            kwargs.pop("secrets_path", None)
-            super().__init__(*args, **kwargs)
-    _Fallback.__name__ = name
-    return _Fallback
+                    "NeptuneLogger: mode '%s' needs the neptune client and "
+                    "network access, which this environment does not have. "
+                    "Use mode: offline (default), or set allow_fallback: "
+                    "true to record an offline container instead." % mode)
+            logger.warning("NeptuneLogger: mode '%s' unavailable; recording "
+                           "an offline container instead (allow_fallback)",
+                           mode)
+        import uuid
+        self.run_uuid = str(uuid.uuid4())
+        self.project = project or experiment_name
+        self.container_dir = (self.save_dir / ".neptune" / "offline"
+                              / f"run__{self.run_uuid}")
+        self.container_dir.mkdir(parents=True, exist_ok=True)
+        self._journal = self.container_dir / "data-1.log"
+        self._t0 = datetime.datetime.now()
+        self._meta = {
+            "sys/id": f"OFFLINE-{self.run_uuid[:8]}",
+            "project": self.project,
+            "name": name or self.run_uuid[:8],
+            "state": "running",
+            "creation_time": self._t0.isoformat(),
+            "tags": list(tags) if tags else [],
+        }
+        self._write_meta()
+        self._op("AssignString", ["sys", "name"], self._meta["name"])
 
+    def _write_meta(self) -> None:
+        with open(self.container_dir / "run.json", "w") as f:
+            json.dump(self._meta, f, indent=2)
 
-_register_fallback("NeptuneLogger", "the neptune client and network access")
+    def _op(self, op: str, path, value) -> None:
+        record = {"type": op, "path": list(path),
+                  "ts": datetime.datetime.now().timestamp()}
+        if op == "LogFloats":
+            record["values"] = value
+        else:
+            record["value"] = value
+        with open(self._journal, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def log_hyperparams(self, hparams) -> None:
+        super().log_hyperparams(hparams)
+        try:
+            data = hparams.to_dict() if isinstance(hparams, ConfigNode) else dict(hparams)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Failed to flatten hparams for neptune: %s", e)
+            return
+        for k, v in sorted(_flatten(data).items()):
+            path = ["parameters"] + k.split(".")
+            if isinstance(v, bool):
+                self._op("AssignBool", path, v)
+            elif isinstance(v, (int, float)):
+                self._op("AssignFloat", path, float(v))
+            else:
+                self._op("AssignString", path, json.dumps(v, default=str)
+                         if not isinstance(v, str) else v)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int = 0) -> None:
+        ts = datetime.datetime.now().timestamp()
+        for k, v in metrics.items():
+            try:
+                val = float(v)
+            except (TypeError, ValueError):
+                continue
+            self._op("LogFloats", k.split("/"),
+                     [{"value": val, "step": int(step), "ts": ts}])
+
+    def finalize(self, status: str) -> None:
+        self._meta["state"] = ("idle" if status in ("success", "FINISHED")
+                               else str(status))
+        self._meta["end_time"] = datetime.datetime.now().isoformat()
+        self._write_meta()
 
 
 def create_logger(logger_params) -> Optional[BaseLogger]:

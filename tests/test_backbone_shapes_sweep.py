@@ -18,6 +18,7 @@ the whole sweep re-traces live (slow) until the table is regenerated with
 ``python tools/gen_backbone_shape_table.py``. ``TORCHOK_SWEEP_FULL=1``
 forces the live trace; ``TORCHOK_SWEEP_SAMPLE=N`` subsamples as before.
 """
+import datetime
 import json
 import os
 import pathlib
@@ -46,9 +47,11 @@ if not os.environ.get("TORCHOK_SWEEP_FULL") and _TABLE_PATH.exists():
     _candidate = json.loads(_TABLE_PATH.read_text())
     if _candidate.get("source_hash") == model_source_hash():
         _table = _candidate["entries"]
-# deterministic rotating live subsample: even in cached mode a few variants
-# re-trace for real every run
-_live = set(random.Random(20260817).sample(
+# rotating live subsample: even in cached mode a few variants re-trace for
+# real. Seeded by the calendar day so the window actually rotates across CI
+# runs (a fixed seed would live-trace the same 8 variants forever) while
+# staying deterministic within a day for flake triage.
+_live = set(random.Random(datetime.date.today().toordinal()).sample(
     ALL_BACKBONES, min(_LIVE_SAMPLE, len(ALL_BACKBONES))))
 
 

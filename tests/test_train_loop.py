@@ -574,3 +574,49 @@ def test_combined_loader_modes_unit():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="zero batches"):
         CombinedTrainLoader([a, empty])
+
+
+def test_combined_loader_superbatch_len_exact_with_ragged():
+    """Ragged constituent batches flush superbatch groups early, so the
+    yielded count exceeds ceil(n/k); __len__ must match what __iter__
+    actually yields or the engine's `bidx >= n_train` break drops trailing
+    batches (and optimizer steps) silently."""
+    import numpy as np
+    from torchok_tpu.data.loader import CombinedTrainLoader, DataLoader
+
+    class DS:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            return {"x": np.asarray([i], np.float32), "tag": self.tag}
+
+    a = DataLoader(DS(7, 0), batch_size=2, num_workers=0)  # sizes 2,2,2,1
+    b = DataLoader(DS(5, 1), batch_size=2, num_workers=0)  # sizes 2,2,1
+
+    for mode, expected in (("sequential", 5), ("max_size_cycle", 6)):
+        comb = CombinedTrainLoader([a, b], mode=mode)
+        comb.superbatch_k = 2
+        batches = list(comb)
+        assert len(comb) == len(batches) == expected, mode
+        # every underlying sample is served exactly once per base pass
+        total = sum(bb["x"].shape[0] for bb in batches)
+        base = CombinedTrainLoader([a, b], mode=mode)
+        assert total == sum(bb["x"].shape[0] for bb in base)
+
+
+def test_combined_loader_superbatch_key_mismatch_raises():
+    """Structurally different batches across loaders must raise the
+    descriptive error, not a bare KeyError (and never silently drop keys)."""
+    import numpy as np
+    import pytest as _pytest
+    from torchok_tpu.data.loader import CombinedTrainLoader
+
+    g1 = {"x": np.zeros((2, 1), np.float32)}
+    g2 = {"x": np.zeros((2, 1), np.float32),
+          "extra": np.zeros((2,), np.float32)}
+    with _pytest.raises(ValueError, match="structurally identical"):
+        CombinedTrainLoader._concat_batches([g1, g2])
+    with _pytest.raises(ValueError, match="structurally identical"):
+        CombinedTrainLoader._concat_batches([g2, g1])

@@ -266,27 +266,72 @@ class CombinedTrainLoader:
         for ld in self.loaders:
             ld.set_epoch(epoch)
 
-    def __len__(self) -> int:
+    @staticmethod
+    def _pass_sizes(ld) -> List[int]:
+        """Batch sizes of one full pass over ``ld``, in yield order."""
+        n = len(ld.sampler) if getattr(ld, "sampler", None) is not None \
+            else len(ld.dataset)
+        bs = ld.batch_size
+        sizes = [bs] * (n // bs)
+        rem = n % bs
+        if rem and not getattr(ld, "drop_last", False):
+            sizes.append(rem)
+        return sizes
+
+    def _base_size_seq(self) -> List[int]:
+        """Batch sizes ``_iter_base`` will yield this epoch, in order."""
+        per_loader = [self._pass_sizes(ld) for ld in self.loaders]
         if self.mode == "sequential":
-            n = sum(len(ld) for ld in self.loaders)
-        else:
-            n = len(self.loaders) * max(len(ld) for ld in self.loaders)
-        if self.superbatch_k > 1:
-            return (n + self.superbatch_k - 1) // self.superbatch_k
-        return n
+            return [s for sizes in per_loader for s in sizes]
+        # max_size_cycle: every loader serves exactly ``target`` batches,
+        # cycling its own pass (restarts reshuffle but keep the size pattern)
+        target = max(len(ld) for ld in self.loaders)
+        seq: List[int] = []
+        for r in range(target):
+            for sizes in per_loader:
+                seq.append(sizes[r % len(sizes)])
+        return seq
+
+    def __len__(self) -> int:
+        if self.superbatch_k <= 1:
+            if self.mode == "sequential":
+                return sum(len(ld) for ld in self.loaders)
+            return len(self.loaders) * max(len(ld) for ld in self.loaders)
+        # exact superbatch count: ragged constituents flush the current group
+        # early and pass through solo (_iter_superbatched), so a plain
+        # ceil(n/k) undercounts and the engine would drop trailing batches
+        micro, k = self.batch_size, self.superbatch_k
+        count = grouped = 0
+        for s in self._base_size_seq():
+            if s != micro:
+                if grouped:
+                    count += 1
+                    grouped = 0
+                count += 1
+            else:
+                grouped += 1
+                if grouped == k:
+                    count += 1
+                    grouped = 0
+        if grouped:
+            count += 1
+        return count
 
     @staticmethod
     def _concat_batches(group: List[Any]) -> Any:
         if len(group) == 1:
             return group[0]
+        keys = set(group[0])
+        for g in group[1:]:
+            if set(g) != keys:
+                diff = sorted(keys.symmetric_difference(g))
+                raise ValueError(
+                    "steps_per_execution>1 with multiple TRAIN dataloaders "
+                    "requires structurally identical batches; keys "
+                    f"{diff} present in one loader's batch but not another's")
         out = {}
         for key in group[0]:
             vals = [g[key] for g in group]
-            if any(key not in g for g in group):
-                raise ValueError(
-                    f"steps_per_execution>1 with multiple TRAIN dataloaders "
-                    f"requires structurally identical batches; key {key!r} "
-                    "missing from one loader's batch")
             first = vals[0]
             if isinstance(first, list):
                 out[key] = [x for v in vals for x in v]

@@ -87,11 +87,6 @@ class Trainer:
             self.limit_val_batches = n
 
         self.mesh = mesh or self._build_mesh(tp)
-        self.data_sharding = NamedSharding(self.mesh, P("data"))
-        self.replicated = NamedSharding(self.mesh, P())
-        # announce for mesh-aware ops (fused window attention shard_map)
-        from torchok_tpu.parallel import set_current_mesh
-        set_current_mesh(self.mesh)
 
         # populated during fit
         self.state: Optional[TrainState] = None
@@ -103,6 +98,23 @@ class Trainer:
         self.should_stop = False
         self._lr_positions: List[List[int]] = [[]]
         self._lr_bases: List[List[float]] = [[]]
+
+    # ------------------------------------------------------------------
+    @property
+    def mesh(self) -> Mesh:
+        return self._mesh
+
+    @mesh.setter
+    def mesh(self, m: Mesh) -> None:
+        # keep the derived shardings AND the global announcement (used by
+        # mesh-aware ops like the fused window attention's shard_map) in sync
+        # with reassignment — a stale announced mesh would trace the kernel
+        # over devices that no longer match the step's data sharding
+        self._mesh = m
+        self.data_sharding = NamedSharding(m, P("data"))
+        self.replicated = NamedSharding(m, P())
+        from torchok_tpu.parallel import set_current_mesh
+        set_current_mesh(m)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -410,8 +422,15 @@ class Trainer:
     # ------------------------------------------------------------------
     # loops
     # ------------------------------------------------------------------
+    def _announce_mesh(self) -> None:
+        # the ACTIVE trainer's mesh must be the globally announced one even if
+        # another Trainer was constructed (and announced) since __init__
+        from torchok_tpu.parallel import set_current_mesh
+        set_current_mesh(self._mesh)
+
     def fit(self, task, ckpt_path: Optional[str] = None) -> None:
         self.task = task
+        self._announce_mesh()
         try:
             self._fit_inner(task, ckpt_path)
         except BaseException as e:  # noqa: BLE001 — finalize loggers on any failure
@@ -663,6 +682,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def test(self, task, ckpt_path: Optional[str] = None) -> Dict[str, float]:
         self.task = task
+        self._announce_mesh()
         loaders = task.test_dataloader()
         if self.state is None:
             self._setup_state(task, ckpt_path)
@@ -680,6 +700,7 @@ class Trainer:
 
     def predict(self, task, ckpt_path: Optional[str] = None) -> List[Dict[str, np.ndarray]]:
         self.task = task
+        self._announce_mesh()
         loaders = task.predict_dataloader()
         if self.state is None:
             self._setup_state(task, ckpt_path)

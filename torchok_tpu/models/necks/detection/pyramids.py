@@ -712,9 +712,9 @@ class RFP(BaseModel):
                 feats = rfp_backbone.forward_features(
                     img, train=train, rfp_feats=feedback)[-n_levels:]
                 refined = run_fpn(feats)
-                outs = [jax.nn.sigmoid(gate_conv(r)) * r
-                        + (1 - jax.nn.sigmoid(gate_conv(r))) * o
-                        for o, r in zip(outs, refined)]
+                gates = [jax.nn.sigmoid(gate_conv(r)) for r in refined]
+                outs = [g * r + (1 - g) * o
+                        for g, o, r in zip(gates, outs, refined)]
         else:
             # pyramid-only refinement (round-2 behavior, no backbone
             # re-run): feedback channels differ from the input pyramid's, so

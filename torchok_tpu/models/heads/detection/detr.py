@@ -128,6 +128,11 @@ class DETRHead(BaseModel):
     sync_cls_avg_factor: bool = False  # GSPMD makes avg factors global already
     score_thr: float = 0.0
     max_per_img: int = 100
+    # mmdet DetrTransformerDecoder parity: with return_intermediate every
+    # decoder layer's output goes through the SHARED cls/reg heads and gets
+    # its own Hungarian match + loss terms (deep supervision, the reference
+    # config sets true — DETR converges far slower without it)
+    return_intermediate: bool = True
     train_cfg: Any = None  # reference-YAML parity (Hungarian costs are fields)
     test_cfg: Any = None
     transformer: Any = None  # mmdet nested cfg accepted; our layout is flat fields
@@ -159,19 +164,26 @@ class DETRHead(BaseModel):
         q_pos = jnp.broadcast_to(query_embed[None], (n, self.num_queries,
                                                      self.embed_dim)).astype(x.dtype)
         q = jnp.zeros_like(q_pos)
+        inter = []
         for i in range(self.num_decoder_layers):
             q = DecoderLayer(self.num_heads, self.ffn_dim, self.dropout,
                              dtype=self.dtype, name=f"decoder_{i}")(
                 q, memory, q_pos, mem_pos, train=train)
+            inter.append(q)
+        # (Lyr, N, Q, E): post-norm layers, so intermediates are ready for
+        # the shared heads (Dense maps over leading axes)
+        qs = jnp.stack(inter) if self.return_intermediate else q[None]
 
         cls_scores = nn.Dense(self.num_classes + 1, dtype=self.dtype,
-                              name="fc_cls")(q)  # + background class
-        y = q
+                              name="fc_cls")(qs)  # + background class
+        y = qs
         for i in range(2):
             y = nn.relu(nn.Dense(self.embed_dim, dtype=self.dtype,
                                  name=f"reg_ffn_{i}")(y))
         bbox_preds = nn.sigmoid(nn.Dense(4, dtype=self.dtype, name="fc_reg")(y))
-        return cls_scores, bbox_preds  # (N, Q, C+1), (N, Q, 4) cxcywh in [0,1]
+        # (Lyr, N, Q, C+1), (Lyr, N, Q, 4) cxcywh in [0,1]; consumers use
+        # [-1] for prediction and all layers for the aux-supervised loss
+        return cls_scores, bbox_preds
 
     @staticmethod
     def format_dict(head_output) -> Dict[str, Any]:
@@ -203,12 +215,33 @@ class DETRHead(BaseModel):
 
     def loss(self, joint_loss, cls_scores_raw, bbox_preds_raw, gt_bboxes,
              gt_labels, img_shape=None, **kwargs):
-        """gt_bboxes (B, M, 4) pixel xyxy; gt_labels (B, M) -1-padded."""
-        n, num_q = cls_scores_raw.shape[:2]
+        """gt_bboxes (B, M, 4) pixel xyxy; gt_labels (B, M) -1-padded.
+
+        cls/bbox preds are (Lyr, B, Q, .) decoder-layer stacks: every layer
+        gets its own Hungarian match and full loss terms (mmdet DETRHead
+        with return_intermediate); aux layers' tagged losses carry the
+        mmdet-style ``d{i}.`` prefix, the last layer's are unprefixed."""
+        if cls_scores_raw.ndim == 3:  # single-layer (return_intermediate off)
+            cls_scores_raw = cls_scores_raw[None]
+            bbox_preds_raw = bbox_preds_raw[None]
         hgt, wdt = img_shape[0], img_shape[1]
         scale = jnp.asarray([wdt, hgt, wdt, hgt], jnp.float32)
         gt_norm = xyxy_to_cxcywh(gt_bboxes.astype(jnp.float32) / scale)
 
+        n_layers = cls_scores_raw.shape[0]
+        total_all = 0.0
+        tagged_all = {}
+        for li in range(n_layers):
+            total, tagged = self._layer_loss(
+                joint_loss, cls_scores_raw[li], bbox_preds_raw[li],
+                gt_norm, gt_labels, scale)
+            total_all = total_all + total
+            prefix = "" if li == n_layers - 1 else f"d{li}."
+            tagged_all.update({prefix + k: v for k, v in tagged.items()})
+        return total_all, tagged_all
+
+    def _layer_loss(self, joint_loss, cls_scores_raw, bbox_preds_raw,
+                    gt_norm, gt_labels, scale):
         assign = jax.vmap(self._match)(cls_scores_raw, bbox_preds_raw,
                                        gt_norm, gt_labels)  # (B, Q)
 
@@ -252,6 +285,9 @@ class DETRHead(BaseModel):
 
     def get_bboxes(self, cls_scores_raw, bbox_preds_raw,
                    img_shape: Optional[Tuple[int, int]] = None, **kwargs):
+        if cls_scores_raw.ndim == 4:  # (Lyr, B, Q, .): predict from last layer
+            cls_scores_raw = cls_scores_raw[-1]
+            bbox_preds_raw = bbox_preds_raw[-1]
         hgt, wdt = img_shape
         scale = jnp.asarray([wdt, hgt, wdt, hgt], jnp.float32)
         probs = jax.nn.softmax(cls_scores_raw.astype(jnp.float32), -1)[..., :-1]

@@ -19,6 +19,7 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from torchok_tpu.constructor import BACKBONES
 from torchok_tpu.models.base import BaseBackbone
@@ -59,6 +60,27 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
         feature_group_count=groups, use_bias=False,
         kernel_init=_conv_init, dtype=dtype, name=name,
     )
+
+
+def stem7x7_to_space_to_depth(w7):
+    """Transform a [7,7,C,F] HWIO stem kernel into the [4,4,4C,F] kernel the
+    ``space_to_depth_stem`` path expects, preserving the conv output EXACTLY.
+
+    The 7x7/s2/pad3 conv at output row i reads original rows r = 2i-3..2i+3.
+    In 2x2 space-to-depth coordinates r = 2*(i-2+u) + a with kernel position
+    u in 0..3 and block offset a in 0..1, so tap dh = 2u+a-1; (u=0, a=0)
+    lands outside the 7-tap kernel and becomes the zero row/col of the padded
+    8x8 kernel. Channel packing matches the model's
+    reshape(n,h/2,2,w/2,2,c)->transpose->(a*2+b)*c+ch layout.
+    """
+    w7 = np.asarray(w7)
+    if w7.shape[:2] != (7, 7):
+        raise ValueError(f"expected a [7,7,C,F] kernel, got {w7.shape}")
+    c, f = w7.shape[2], w7.shape[3]
+    wp = np.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    return np.ascontiguousarray(
+        wp.reshape(4, 2, 4, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
+          .reshape(4, 4, 4 * c, f))
 
 
 class Downsample(nn.Module):
@@ -208,6 +230,7 @@ class ResNet(BaseBackbone):
     attn: Optional[str] = None  # None | 'se' | 'eca'
     aa: bool = False  # anti-aliased (blur-pool) strided convs (resnetblur/aa)
     norm: str = "bn"  # 'bn' | 'gn' (resnet*_gn variants)
+    space_to_depth_stem: bool = False  # TPU: exact 7x7/s2 -> s2d + 4x4/s1
     drop_path_rate: float = 0.0
     zero_init_last: bool = True
     dtype: Any = None
@@ -251,6 +274,10 @@ class ResNet(BaseBackbone):
         return plan
 
     def _stem(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if self.space_to_depth_stem and "deep" in self.stem_type:
+            raise ValueError(
+                "space_to_depth_stem applies to the plain 7x7 stem only "
+                f"(stem_type={self.stem_type!r} uses 3x3 convs)")
         if "deep" in self.stem_type:
             if self.stem_type == "deep_tiered":
                 chs = (3 * (self.stem_width // 4), self.stem_width, self.stem_width * 2)
@@ -263,6 +290,20 @@ class ResNet(BaseBackbone):
             x = _bn(train, "bn1_1", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = _conv(chs[2], 3, 1, name="conv1_2", dtype=self.dtype)(x)
+        elif self.space_to_depth_stem:
+            # MLPerf-style TPU stem: 2x2 space-to-depth, then a stride-1 4x4
+            # conv — numerically IDENTICAL to the 7x7/s2/pad3 conv when the
+            # kernel is `stem7x7_to_space_to_depth`-transformed (the 3-channel
+            # 7x7 conv wastes MXU lanes; 12 input channels tile far better).
+            n, h, w, c = x.shape
+            if h % 2 or w % 2:
+                raise ValueError(
+                    f"space_to_depth_stem needs even input H/W, got {h}x{w}")
+            z = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            z = z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+            x = nn.Conv(self.stem_width, (4, 4), strides=(1, 1),
+                        padding=((2, 1), (2, 1)), use_bias=False,
+                        kernel_init=_conv_init, dtype=self.dtype, name="conv1")(z)
         else:
             x = nn.Conv(self.stem_width, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)), use_bias=False,

@@ -40,6 +40,13 @@ def fit_tensor(t: np.ndarray, target_shape: Tuple[int, ...], key: str,
     t = np.asarray(t)
     target = tuple(target_shape)
     if is_kernel:
+        if t.ndim == 4 and t.shape[2:] == (7, 7) and len(target) == 4 \
+                and target == (4, 4, 4 * t.shape[1], t.shape[0]):
+            # 7x7 stem kernel into a space_to_depth_stem model (resnet.py):
+            # OIHW -> HWIO, then the exact s2d kernel repacking
+            from torchok_tpu.models.backbones.resnet import \
+                stem7x7_to_space_to_depth
+            return stem7x7_to_space_to_depth(t.transpose(2, 3, 1, 0))
         if t.ndim == 4 and len(target) == 4 and t.transpose(2, 3, 1, 0).shape == target:
             return t.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
         if t.ndim == 2 and len(target) == 2 and t.T.shape == target:

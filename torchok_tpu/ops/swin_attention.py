@@ -35,7 +35,6 @@ op composes with the engine's GSPMD dp/fsdp step.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -45,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-LOG2_100 = math.log(100.0)
+from torchok_tpu.ops.window_attention import LN_100  # single source: ln(100) clamp
 _EPS = 1e-12
 
 # VMEM budget gate: bias (+dbias in bwd) and the revisited accumulators must
@@ -58,7 +57,7 @@ def fused_attention_vmem_estimate(ws: int, wp: int, nheads: int, c: int) -> int:
     """Rough backward-pass VMEM footprint (the larger of the two kernels)."""
     L = ws * ws
     ngx = max(wp // ws, 1)
-    pack = _PACK if ngx % _PACK == 0 and L < 128 else 1
+    pack = _pick_pack(ngx, L)  # MUST match the dispatch-time rule
     Lp = pack * L
     bias = nheads * Lp * Lp * 4 * 2        # packed bias + dbias accumulator
     blocks = (2 * (3 * c) + 2 * c + 2 * (3 * c)) * ws * wp * 2  # qkv/dout/dqkv, dbl-buffered bf16
@@ -501,7 +500,7 @@ def fused_swin_attention(qkv: jnp.ndarray, logit_scale: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale_row = jnp.exp(jnp.minimum(
-        logit_scale.astype(jnp.float32), LOG2_100)).reshape(1, -1)
+        logit_scale.astype(jnp.float32), LN_100)).reshape(1, -1)
     bias = bias.astype(jnp.float32)
     if mask is None:
         return _build(ws, nheads, False, interpret)(qkv, scale_row, bias)

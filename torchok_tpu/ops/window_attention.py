@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LOG2_100 = math.log(100.0)
+# SwinV2 clamps the learned log temperature at ln(100) (natural log): the
+# reference's clamp(max=log(100)) caps the effective scale at 100.
+LN_100 = math.log(100.0)
 
 
 def _normalize(x, axis=-1, eps=1e-12):
@@ -58,7 +60,7 @@ def _window_attention_xla(q, k, v, logit_scale, bias, mask, layout="bhld"):
     # logits' tolerance (reference trains the same math in fp16 autocast).
     qn = _normalize(q.astype(jnp.float32)).astype(dtype)
     kn = _normalize(k.astype(jnp.float32)).astype(dtype)
-    scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), LOG2_100))
+    scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), LN_100))
     attn = jnp.einsum(eq_qk, qn, kn, preferred_element_type=jnp.float32)
     attn = attn * scale[None, :, None, None]
     attn = attn + bias.astype(jnp.float32)[None]
@@ -92,7 +94,7 @@ def _wa_kernel_mw(q_ref, k_ref, v_ref, scale_ref, bias_ref, mask_ref, out_ref,
     order is batch-major, so id % nW is the window type)."""
     head = pl.program_id(1)
     blk = pl.program_id(0)
-    scale = jnp.exp(jnp.minimum(scale_ref[head], LOG2_100))
+    scale = jnp.exp(jnp.minimum(scale_ref[head], LN_100))
     bias_f = bias_ref[0].astype(jnp.float32)
     for g in range(G):  # static unroll
         q = q_ref[g, 0].astype(jnp.float32)
@@ -102,10 +104,11 @@ def _wa_kernel_mw(q_ref, k_ref, v_ref, scale_ref, bias_ref, mask_ref, out_ref,
         kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
         attn = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32) * scale
         attn = attn + bias_f
-        if n_mask > 1:
-            w_idx = jax.lax.rem(blk * G + g, n_mask)
-            m = mask_ref[pl.dslice(w_idx, 1), :, :]
-            attn = attn + m[0].astype(jnp.float32)
+        # unconditional: a (1, L, L) mask may be a genuine caller mask, not
+        # just the zeros placeholder — the add is trivial next to the matmuls
+        w_idx = jax.lax.rem(blk * G + g, n_mask) if n_mask > 1 else 0
+        m = mask_ref[pl.dslice(w_idx, 1), :, :]
+        attn = attn + m[0].astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         out_ref[g, 0] = jnp.dot(attn.astype(jnp.float32),
                                 v.astype(jnp.float32),
@@ -156,20 +159,23 @@ def _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr,
     )(q, k, v, logit_scale.reshape(H).astype(jnp.float32), bias, mask_arr)
 
 
-@jax.custom_vjp
-def _window_attention_hybrid(q, k, v, logit_scale, bias, mask_arr):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _window_attention_hybrid(q, k, v, logit_scale, bias, mask_arr,
+                             interpret=None):
     """Pallas fused forward + XLA recompute backward (pallas_call has no
     autodiff rule). mask_arr is always an array — (1, L, L) zeros when the
     block is unshifted."""
-    return _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr)
+    return _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr,
+                                       interpret=interpret)
 
 
-def _hybrid_fwd(q, k, v, logit_scale, bias, mask_arr):
-    out = _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr)
+def _hybrid_fwd(q, k, v, logit_scale, bias, mask_arr, interpret=None):
+    out = _window_attention_pallas_mw(q, k, v, logit_scale, bias, mask_arr,
+                                      interpret=interpret)
     return out, (q, k, v, logit_scale, bias, mask_arr)
 
 
-def _hybrid_bwd(res, g):
+def _hybrid_bwd(interpret, res, g):
     q, k, v, logit_scale, bias, mask_arr = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_, s_, b_: _window_attention_xla(q_, k_, v_, s_, b_,
@@ -209,11 +215,15 @@ def window_attention(q, k, v, logit_scale, bias, mask=None,
             mask_arr = mask  # compact (nW, L, L): the kernel indexes per window
         else:
             mask_arr = mask  # fully tiled also works (n_mask == B)
+        # interpret=True forces interpreter mode even on TPU (kernel numerics
+        # validation); False/None keeps the backend-derived default
+        interp = True if interpret else None
         if layout == "blhd":  # kernel expects head-major blocks
             out = _window_attention_hybrid(q.transpose(0, 2, 1, 3),
                                            k.transpose(0, 2, 1, 3),
                                            v.transpose(0, 2, 1, 3),
-                                           logit_scale, bias, mask_arr)
+                                           logit_scale, bias, mask_arr, interp)
             return out.transpose(0, 2, 1, 3)
-        return _window_attention_hybrid(q, k, v, logit_scale, bias, mask_arr)
+        return _window_attention_hybrid(q, k, v, logit_scale, bias, mask_arr,
+                                        interp)
     return _window_attention_xla(q, k, v, logit_scale, bias, mask, layout)

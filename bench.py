@@ -56,7 +56,7 @@ def _peak_tflops() -> float:
 
 
 def build_trainer(backbone: str, hw: int, batch_size: int,
-                  num_classes: int = 1000):
+                  num_classes: int = 1000, backbone_extra: dict = None):
     import torchok_tpu  # noqa: F401
     from torchok_tpu.constructor import TASKS
     from torchok_tpu.constructor.config import ConfigNode
@@ -68,7 +68,8 @@ def build_trainer(backbone: str, hw: int, batch_size: int,
             "name": "ClassificationTask",
             "params": {
                 "backbone_name": backbone,
-                "backbone_params": {"pretrained": False, "in_channels": 3},
+                "backbone_params": {"pretrained": False, "in_channels": 3,
+                                    **(backbone_extra or {})},
                 "pooling_name": "Pooling",
                 "head_name": "ClassificationHead",
                 "head_params": {"num_classes": num_classes},
@@ -159,6 +160,50 @@ def bench_case(backbone: str, hw: int, batch_size: int, k: int, reps: int,
     return out
 
 
+def bench_infer_case(backbone: str, hw: int, batch_size: int, k: int,
+                     reps: int, num_classes: int = 1000):
+    """Eval-mode forward throughput (the serving path): one jitted k-step
+    scan over the bf16 forward, no grads/optimizer, batch stats frozen."""
+    trainer, task = build_trainer(backbone, hw, batch_size, num_classes)
+    model, state = task.model, trainer.state
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    if state.buffers:
+        variables["buffers"] = state.buffers
+
+    rng = np.random.default_rng(0)
+    host = {"image": rng.normal(size=(batch_size, hw, hw, 3)).astype(np.float32)}
+    batch = jax.device_put(host, trainer.data_sharding)
+    batch = {**batch, "image": batch["image"].astype(task.compute_dtype)}
+
+    @jax.jit
+    def infer_k(variables, batch):
+        def body(carry, _):
+            # thread the carry into the input so XLA cannot hoist the
+            # loop-invariant forward out of the scan (the added term is a
+            # dynamic zero: carry * 1e-30 underflows the bf16 cast)
+            img = batch["image"] + (carry * 1e-30).astype(batch["image"].dtype)
+            out = model.apply(variables, {**batch, "image": img}, train=False)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return carry + jnp.sum(leaf.astype(jnp.float32)), None
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=k)
+        return total
+
+    total = infer_k(variables, batch)
+    jax.block_until_ready(total)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        total = infer_k(variables, batch)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+    ips = reps * k * batch_size / dt
+    return {"images_per_sec_per_chip": round(ips / trainer.num_devices, 1),
+            "batch_size": batch_size, "hw": hw, "mode": "eval-forward"}
+
+
 def main():
     results = {}
     # headline: the reference CI recipe shape — 10 classes like the CIFAR-10
@@ -181,6 +226,14 @@ def main():
             "swinv2_tiny_window8_256", 256, 128, k=10, reps=3)
     except Exception as e:  # noqa: BLE001
         results["swinv2_tiny_256_bs128"] = {"error": str(e)[:200]}
+    # serving path: eval-mode forward throughput
+    for key, args in (("resnet50_224_bs256_infer", ("resnet50", 224, 256)),
+                      ("swinv2_tiny_256_bs128_infer",
+                       ("swinv2_tiny_window8_256", 256, 128))):
+        try:
+            results[key] = bench_infer_case(*args, k=20, reps=3)
+        except Exception as e:  # noqa: BLE001
+            results[key] = {"error": str(e)[:200]}
 
     result = {
         "metric": "train images/sec/chip (ResNet-18/CIFAR-10 shape, bs=128, bf16, fused 25-step scan)",

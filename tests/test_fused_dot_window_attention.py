@@ -1,0 +1,166 @@
+"""Fused PLAIN (dot-product) window attention — the cosine=False mode of
+ops/swin_attention.py that powers DaViT spatial blocks and GCViT local
+window blocks (reference: torchok/models/backbones/davit.py:168-208,
+torchok/models/backbones/gcvit.py:46-242 via timm).
+
+Interpret-mode Pallas vs a plain-XLA windowed formulation: forward and
+gradients (qkv and the learned additive bias), both the two-window packed
+shape (ngx even, L < 128) and the unpacked shape (ngx odd).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchok_tpu.ops.swin_attention import fused_window_attention
+from torchok_tpu.models.backbones.swin import window_partition, window_reverse
+
+
+def _xla_reference(qkv, scale, bias, ws, nheads):
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    d = c // nheads
+    l = ws * ws
+    win = window_partition(qkv, ws)
+    q = win[..., :c].reshape(-1, l, nheads, d)
+    k = win[..., c:2 * c].reshape(-1, l, nheads, d)
+    v = win[..., 2 * c:].reshape(-1, l, nheads, d)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn * scale[None, :, None, None]
+    if bias is not None:
+        attn = attn + bias[None].astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(qkv.dtype)
+    ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
+    return window_reverse(ow, ws, hp, wp)
+
+
+CASES = [
+    # (hp, wp, ws, nheads, c, with_bias)  — ngx=4 packs two windows; ngx=3
+    # exercises the unpacked path; ws=7/L=49 is the DaViT/GCViT shape
+    (8, 16, 4, 2, 16, False),
+    (8, 16, 4, 2, 16, True),
+    (12, 12, 4, 2, 16, True),
+    (14, 14, 7, 3, 24, True),
+]
+
+
+def _to_windowed(qkv, ws):
+    b = qkv.shape[0]
+    l = ws * ws
+    win = window_partition(qkv, ws)
+    return win.reshape(b, win.shape[0] // b, l, win.shape[-1])
+
+
+@pytest.mark.parametrize("hp,wp,ws,nheads,c,with_bias", CASES)
+def test_windowed_layout_matches_xla(hp, wp, ws, nheads, c, with_bias):
+    """The windowed-input kernel mode (caller partitions in XLA — the path
+    for sublane-misaligned ws like DaViT's 7) matches the reference."""
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(2, hp, wp, 3 * c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    l = ws * ws
+    bias = (jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+            if with_bias else None)
+    win = _to_windowed(qkv, ws)
+    got_w = fused_window_attention(win, scale, bias, ws=ws, nheads=nheads,
+                                   interpret=True, layout="windowed")
+    got = window_reverse(got_w.reshape(-1, l, c), ws, hp, wp)
+    want = _xla_reference(qkv, scale, bias, ws, nheads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_layout_grads_match_xla():
+    hp, wp, ws, nheads, c = 14, 14, 7, 3, 24
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.normal(size=(2, hp, wp, 3 * c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    l = ws * ws
+    bias = jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, hp, wp, c)), jnp.float32)
+
+    def loss_fused(qkv_, bias_):
+        win = _to_windowed(qkv_, ws)
+        ow = fused_window_attention(win, scale, bias_, ws=ws, nheads=nheads,
+                                    interpret=True, layout="windowed")
+        out = window_reverse(ow.reshape(-1, l, c), ws, hp, wp)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_xla(qkv_, bias_):
+        return jnp.sum((_xla_reference(qkv_, scale, bias_, ws, nheads)
+                        - tgt) ** 2)
+
+    gq_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    gq_x, gb_x = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("hp,wp,ws,nheads,c,with_bias", CASES)
+def test_forward_matches_xla(hp, wp, ws, nheads, c, with_bias):
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(2, hp, wp, 3 * c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    l = ws * ws
+    bias = (jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+            if with_bias else None)
+    got = fused_window_attention(qkv, scale, bias, ws=ws, nheads=nheads,
+                                 interpret=True)
+    want = _xla_reference(qkv, scale, bias, ws, nheads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hp,wp,ws,nheads,c,with_bias", CASES[1:3])
+def test_grads_match_xla(hp, wp, ws, nheads, c, with_bias):
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(2, hp, wp, 3 * c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    l = ws * ws
+    bias = jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, hp, wp, c)), jnp.float32)
+
+    def loss_fused(qkv_, bias_):
+        out = fused_window_attention(qkv_, scale, bias_, ws=ws,
+                                     nheads=nheads, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_xla(qkv_, bias_):
+        return jnp.sum((_xla_reference(qkv_, scale, bias_, ws, nheads)
+                        - tgt) ** 2)
+
+    gq_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    gq_x, gb_x = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_x),
+                               rtol=1e-4, atol=1e-4)
+    # the learned rel-pos bias gradient rides the kernel's revisited
+    # dbias accumulator — the GCViT training path
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_davit_gcvit_fused_forward_matches_xla_path():
+    """Whole-backbone check: forcing the fused kernel (interpret on CPU)
+    reproduces the windowed XLA formulation with the same params."""
+    from torchok_tpu.constructor import BACKBONES
+
+    for name, hw, tol in (("davit_t", 56, 2e-5), ("gcvit_xxtiny", 56, 2e-5)):
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(size=(2, hw, hw, 3)), jnp.float32)
+        outs = {}
+        for force in (False, True):
+            os.environ["TORCHOK_WINDOW_ATTN_PALLAS"] = "1" if force else "0"
+            try:
+                model = BACKBONES.get(name)(pretrained=False)
+                variables = model.init(jax.random.PRNGKey(0), x, train=False)
+                outs[force] = model.apply(variables, x, train=False)
+            finally:
+                os.environ.pop("TORCHOK_WINDOW_ATTN_PALLAS", None)
+        np.testing.assert_allclose(np.asarray(outs[True]),
+                                   np.asarray(outs[False]),
+                                   rtol=tol, atol=tol)

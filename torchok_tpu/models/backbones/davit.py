@@ -19,6 +19,9 @@ from torchok_tpu.models.base import BaseBackbone
 from torchok_tpu.models.modules.bricks.mlp import Mlp
 from torchok_tpu.models.backbones.swin import window_partition, window_reverse
 from torchok_tpu.ops.common import DropPath
+from torchok_tpu.ops.swin_attention import (_ShardFallback,
+                                            fused_attention_enabled,
+                                            fused_window_attention)
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
 
@@ -67,7 +70,13 @@ class ChannelAttention(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """Plain window self-attention (reference davit.py:168-208)."""
+    """Plain window self-attention (reference davit.py:168-208).
+
+    Accepts either pre-partitioned windows (B_, L, C) — the XLA
+    formulation — or the full padded spatial map (B, Hp, Wp, C), in which
+    case the fused Pallas kernel (``ops/swin_attention.py``, cosine=False
+    mode) handles partition/attention/reverse in one pass. Parameters are
+    identical either way (the qkv/proj Denses are pointwise over tokens)."""
     num_heads: int
     window_size: int
     qkv_bias: bool = True
@@ -75,11 +84,47 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b_, l, c = x.shape
+        c = x.shape[-1]
         h = self.num_heads
         d = c // h
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
+        if x.ndim == 4:
+            b, hp, wp, _ = x.shape
+            ws_ = self.window_size
+            l_ = ws_ * ws_
+            scale = jnp.full((h,), d ** -0.5, jnp.float32)
+            try:
+                if not isinstance(b, int):
+                    raise _ShardFallback()  # symbolic batch: no Pallas grid
+                if ws_ % 8 == 0:
+                    out = fused_window_attention(qkv, scale, None,
+                                                 ws=ws_, nheads=h)
+                else:
+                    # sublane-misaligned window (ws=7): partition in XLA,
+                    # attention still fused (windowed-input kernel mode)
+                    n_w = (hp // ws_) * (wp // ws_)
+                    win = window_partition(qkv, ws_).reshape(b, n_w, l_,
+                                                             3 * c)
+                    ow = fused_window_attention(win, scale, None, ws=ws_,
+                                                nheads=h, layout="windowed")
+                    out = window_reverse(ow.reshape(b * n_w, l_, c),
+                                         ws_, hp, wp)
+            except _ShardFallback:
+                # batch does not divide the active mesh's data axes: run
+                # the XLA formulation on explicit windows instead
+                win = window_partition(qkv, self.window_size)
+                l = self.window_size * self.window_size
+                q = win[..., :c].reshape(-1, l, h, d)
+                k = win[..., c:2 * c].reshape(-1, l, h, d)
+                v = win[..., 2 * c:].reshape(-1, l, h, d)
+                attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k,
+                                  preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+                ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
+                out = window_reverse(ow, self.window_size, hp, wp)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        b_, l, _ = x.shape
         qkv = qkv.reshape(b_, l, 3, h, d).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k,
@@ -110,10 +155,17 @@ class SpatialBlock(nn.Module):
         pad_w = (ws - wdt % ws) % ws
         if pad_h or pad_w:
             sp = jnp.pad(sp, [(0, 0), (0, pad_h), (0, pad_w), (0, 0)])
-        windows = window_partition(sp, ws)
-        attn = WindowAttention(self.num_heads, ws, self.qkv_bias,
-                               dtype=self.dtype, name="attn")(windows)
-        sp = window_reverse(attn, ws, hgt + pad_h, wdt + pad_w)
+        attn_mod = WindowAttention(self.num_heads, ws, self.qkv_bias,
+                                   dtype=self.dtype, name="attn")
+        if fused_attention_enabled(ws, wdt + pad_w, self.num_heads, c):
+            # fused Pallas path: partition/attention/reverse in one kernel
+            # on the spatial layout (pad tokens attend exactly as in the
+            # windowed form — their qkv is the Dense bias)
+            sp = attn_mod(sp)
+        else:
+            windows = window_partition(sp, ws)
+            sp = window_reverse(attn_mod(windows), ws,
+                                hgt + pad_h, wdt + pad_w)
         if pad_h or pad_w:
             sp = sp[:, :hgt, :wdt]
         x = x + DropPath(self.drop_path, name="dp1")(sp.reshape(n, l, c), train)

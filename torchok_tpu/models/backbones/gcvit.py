@@ -40,6 +40,9 @@ from torchok_tpu.models.modules.bricks.mlp import Mlp, gelu_exact
 from torchok_tpu.models.backbones.swin import window_partition, window_reverse
 from torchok_tpu.ops.common import DropPath
 from torchok_tpu.ops.image import max_pool
+from torchok_tpu.ops.swin_attention import (_ShardFallback,
+                                            fused_attention_enabled,
+                                            fused_window_attention)
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
 
@@ -129,7 +132,9 @@ class RelPosBias(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, attn: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, attn: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """With ``attn`` adds the bias to the logits (XLA formulation);
+        with None returns the raw (H, L, L) f32 bias for the fused kernel."""
         ws = self.window_size
         L = ws * ws
         table = self.param("relative_position_bias_table",
@@ -137,6 +142,8 @@ class RelPosBias(nn.Module):
                            ((2 * ws - 1) ** 2, self.num_heads))
         idx = jnp.asarray(_rel_pos_index(ws).reshape(-1))
         bias = table[idx].reshape(L, L, self.num_heads).transpose(2, 0, 1)
+        if attn is None:
+            return bias.astype(jnp.float32)
         return attn + bias[None].astype(attn.dtype)
 
 
@@ -153,9 +160,50 @@ class WindowAttentionGlobal(nn.Module):
     @nn.compact
     def __call__(self, windows: jnp.ndarray,
                  q_global: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        b_, l, c = windows.shape
+        c = windows.shape[-1]
         h = self.num_heads
         d = c // h
+        if windows.ndim == 4 and not self.use_global:
+            # full (B, Hp, Wp, C) spatial map: fused Pallas kernel does
+            # partition/attention/reverse in one pass (plain dot-product
+            # mode; the learned rel-pos bias gradient flows through the
+            # kernel's dbias accumulator). Same params as the windowed form.
+            b, hp, wp, _ = windows.shape
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                           name="qkv")(windows)
+            bias = RelPosBias(self.window_size, h, name="rel_pos")()
+            l = self.window_size * self.window_size
+            ws_ = self.window_size
+            scale = jnp.full((h,), d ** -0.5, jnp.float32)
+            try:
+                if not isinstance(b, int):
+                    raise _ShardFallback()  # symbolic batch: no Pallas grid
+                if ws_ % 8 == 0:
+                    out = fused_window_attention(qkv, scale, bias,
+                                                 ws=ws_, nheads=h)
+                else:
+                    # sublane-misaligned window (ws=7/14): partition in XLA,
+                    # attention still fused (windowed-input kernel mode)
+                    n_w = (hp // ws_) * (wp // ws_)
+                    win = window_partition(qkv, ws_).reshape(b, n_w, l,
+                                                             3 * c)
+                    ow = fused_window_attention(win, scale, bias, ws=ws_,
+                                                nheads=h, layout="windowed")
+                    out = window_reverse(ow.reshape(b * n_w, l, c),
+                                         ws_, hp, wp)
+            except _ShardFallback:
+                win = window_partition(qkv, self.window_size)
+                q = win[..., :c].reshape(-1, l, h, d)
+                k = win[..., c:2 * c].reshape(-1, l, h, d)
+                v = win[..., 2 * c:].reshape(-1, l, h, d)
+                attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k,
+                                  preferred_element_type=jnp.float32)
+                attn = attn + bias[None].astype(attn.dtype)
+                attn = jax.nn.softmax(attn, axis=-1).astype(windows.dtype)
+                ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
+                out = window_reverse(ow, self.window_size, hp, wp)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        b_, l, c = windows.shape
         if self.use_global:
             kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                           name="qkv")(windows)
@@ -210,11 +258,18 @@ class GlobalContextVitBlock(nn.Module):
         pad_w = (ws - wdt % ws) % ws
         if pad_h or pad_w:
             y = jnp.pad(y, [(0, 0), (0, pad_h), (0, pad_w), (0, 0)])
-        windows = window_partition(y, ws)
-        attn = WindowAttentionGlobal(self.num_heads, ws, self.use_global,
-                                     self.qkv_bias, dtype=self.dtype,
-                                     name="attn")(windows, q_global)
-        y = window_reverse(attn, ws, hgt + pad_h, wdt + pad_w)
+        attn_mod = WindowAttentionGlobal(self.num_heads, ws, self.use_global,
+                                         self.qkv_bias, dtype=self.dtype,
+                                         name="attn")
+        if not self.use_global and fused_attention_enabled(
+                ws, wdt + pad_w, self.num_heads, c):
+            # local blocks ride the fused Pallas kernel on the spatial
+            # layout; global blocks (broadcast q) keep the XLA formulation
+            y = attn_mod(y, None)
+        else:
+            windows = window_partition(y, ws)
+            attn = attn_mod(windows, q_global)
+            y = window_reverse(attn, ws, hgt + pad_h, wdt + pad_w)
         if pad_h or pad_w:
             y = y[:, :hgt, :wdt]
         if self.layer_scale is not None:

@@ -74,7 +74,7 @@ def _norm_rows(x):
 # kernels
 # ---------------------------------------------------------------------------
 def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
-                has_mask, pack=1):
+                has_mask, pack=1, cosine=True, windowed=False):
     """One row of ``ngx`` windows per program. Every matmul is a single
     batched dot_general over the window axis — per-window unrolling issued
     24+ tiny VPU/MXU ops per row and ran ~5x slower (round-3 TPU probe).
@@ -94,19 +94,29 @@ def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
     c3 = qkv_ref.shape[-1]
     C = c3 // 3
     D = C // nheads
-    # (ws, Wp, 3C) -> (ngx, L, 3C): major-dim swap, a cheap VMEM relayout
-    row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
-    row = row.reshape(ng, Lp, c3)
+    if windowed:
+        # pre-partitioned (G, L, 3C) block: tokens already window-major, no
+        # relayout needed — the mode for sublane-misaligned windows (ws=7
+        # DaViT / ws=14 GCViT), where Mosaic rejects the spatial transpose
+        row = qkv_ref[0]
+    else:
+        # (ws, Wp, 3C) -> (ngx, L, 3C): major-dim swap, cheap VMEM relayout
+        row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
+        row = row.reshape(ng, Lp, c3)
     bn = (((2,), (2,)), ((0,), (0,)))  # batched contract-last
     heads = []
     for h in range(nheads):
-        q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
-        k = row[:, :, C + h * D:C + (h + 1) * D].astype(jnp.float32)
         v = row[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
-        # normalize in f32, matmul in the input dtype (f32xf32 has no
-        # native MXU path; unit vectors round to bf16 at ~2^-9 relative)
-        qn = _norm_rows(q).astype(row.dtype)
-        kn = _norm_rows(k).astype(row.dtype)
+        if cosine:
+            q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+            k = row[:, :, C + h * D:C + (h + 1) * D].astype(jnp.float32)
+            # normalize in f32, matmul in the input dtype (f32xf32 has no
+            # native MXU path; unit vectors round to bf16 at ~2^-9 relative)
+            qn = _norm_rows(q).astype(row.dtype)
+            kn = _norm_rows(k).astype(row.dtype)
+        else:  # plain scaled dot-product (DaViT / GCViT windows)
+            qn = row[:, :, h * D:(h + 1) * D]
+            kn = row[:, :, C + h * D:C + (h + 1) * D]
         logits = jax.lax.dot_general(qn, kn, bn,
                                      preferred_element_type=jnp.float32)
         logits = logits * scale_ref[0, h] + bias_ref[h][None]
@@ -117,12 +127,16 @@ def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
             a, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))
     o = jnp.concatenate(heads, axis=-1)  # (ng, Lp, C)
-    o = o.reshape(ngx, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, ngx * ws, C)
-    out_ref[0] = o.astype(out_ref.dtype)
+    if windowed:
+        out_ref[0] = o.astype(out_ref.dtype)
+    else:
+        o = o.reshape(ngx, ws, ws, C).transpose(1, 0, 2, 3)
+        out_ref[0] = o.reshape(ws, ngx * ws, C).astype(out_ref.dtype)
 
 
 def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
-                ws, nheads, ngx, has_mask, pack=1):
+                ws, nheads, ngx, has_mask, pack=1, cosine=True,
+                windowed=False):
     if has_mask:
         mask_ref, dqkv_ref, dbias_ref, dscale_ref = rest
     else:
@@ -141,22 +155,29 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
         dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
         dscale_ref[...] = jnp.zeros(dscale_ref.shape, dscale_ref.dtype)
 
-    row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
-    row = row.reshape(ng, Lp, c3)
-    drow = dout_ref[0].reshape(ws, ngx, ws, C).transpose(1, 0, 2, 3)
-    drow = drow.reshape(ng, Lp, C)
+    if windowed:
+        row = qkv_ref[0]
+        drow = dout_ref[0]
+    else:
+        row = qkv_ref[0].reshape(ws, ngx, ws, c3).transpose(1, 0, 2, 3)
+        row = row.reshape(ng, Lp, c3)
+        drow = dout_ref[0].reshape(ws, ngx, ws, C).transpose(1, 0, 2, 3)
+        drow = drow.reshape(ng, Lp, C)
     dheads = []
     for h in range(nheads):
-        q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
-        k = row[:, :, C + h * D:C + (h + 1) * D].astype(jnp.float32)
         v = row[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
         do = drow[:, :, h * D:(h + 1) * D]
         s = scale_ref[0, h]
 
-        rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + _EPS)
-        rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + _EPS)
-        qn32, kn32 = q * rq, k * rk
-        qn, kn = qn32.astype(row.dtype), kn32.astype(row.dtype)
+        if cosine:
+            q = row[:, :, h * D:(h + 1) * D].astype(jnp.float32)
+            k = row[:, :, C + h * D:C + (h + 1) * D].astype(jnp.float32)
+            rq = jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + _EPS)
+            rk = jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + _EPS)
+            qn, kn = (q * rq).astype(row.dtype), (k * rk).astype(row.dtype)
+        else:
+            qn = row[:, :, h * D:(h + 1) * D]
+            kn = row[:, :, C + h * D:C + (h + 1) * D]
         cos = jax.lax.dot_general(qn, kn, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.float32)
         logits = cos * s + bias_ref[h][None]
@@ -184,17 +205,23 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
         # dkn[b,k,d] = sum_q dls[b,q,k] qn[b,q,d]
         dkn = jax.lax.dot_general(dls, qn, (((1,), (1,)), ((0,), (0,))),
                                   preferred_element_type=jnp.float32)
-        # through the f32 row normalization: d(x*r) with r=rsqrt(ss+eps)
-        dq = rq * dqn - (rq ** 3) * q * jnp.sum(q * dqn, -1, keepdims=True)
-        dk = rk * dkn - (rk ** 3) * k * jnp.sum(k * dkn, -1, keepdims=True)
+        if cosine:
+            # through the f32 row normalization: d(x*r), r=rsqrt(ss+eps)
+            dq = rq * dqn - (rq ** 3) * q * jnp.sum(q * dqn, -1, keepdims=True)
+            dk = rk * dkn - (rk ** 3) * k * jnp.sum(k * dkn, -1, keepdims=True)
+        else:
+            dq, dk = dqn, dkn
         dheads.append((dq, dk, dv))
 
     dq_all = jnp.concatenate([t[0] for t in dheads], axis=-1)
     dk_all = jnp.concatenate([t[1] for t in dheads], axis=-1)
     dv_all = jnp.concatenate([t[2] for t in dheads], axis=-1)
     dtile_out = jnp.concatenate([dq_all, dk_all, dv_all], axis=-1)  # (ngx,L,3C)
-    dtile_out = dtile_out.reshape(ngx, ws, ws, c3).transpose(1, 0, 2, 3)
-    dqkv_ref[0] = dtile_out.reshape(ws, ngx * ws, c3).astype(dqkv_ref.dtype)
+    if windowed:
+        dqkv_ref[0] = dtile_out.astype(dqkv_ref.dtype)
+    else:
+        dtile_out = dtile_out.reshape(ngx, ws, ws, c3).transpose(1, 0, 2, 3)
+        dqkv_ref[0] = dtile_out.reshape(ws, ngx * ws, c3).astype(dqkv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +234,15 @@ _NEG = -1e9        # cross-window block fill (softmax-exact block diagonality)
 def _pick_pack(ngx: int, L: int) -> int:
     # pack only when it helps fill the 128-lane MXU face and divides the row
     return _PACK if ngx % _PACK == 0 and L < 128 else 1
+
+
+def _pick_group(nW: int) -> int:
+    """Windows per program for the windowed-input mode: enough to amortize
+    grid overhead, while dividing the window count."""
+    for g in (8, 4, 2, 1):
+        if nW % g == 0:
+            return g
+    return 1
 
 
 def _pack_bias(bias, pack):
@@ -234,16 +270,48 @@ def _pack_mask(mask, pack):
     return out
 
 
-def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret):
-    B, Hp, Wp, c3 = qkv.shape
-    C = c3 // 3
+def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret,
+                cosine=True, windowed=False):
+    C = qkv.shape[-1] // 3
+    c3 = qkv.shape[-1]
     L = ws * ws
+    if windowed:
+        # (B, nW, L, 3C) pre-partitioned input: no in-kernel relayout (the
+        # mode for sublane-misaligned window sizes); mask unsupported here
+        assert mask is None, "windowed fused mode takes no shift mask"
+        B, nW = qkv.shape[0], qkv.shape[1]
+        G = _pick_group(nW)
+        kernel = functools.partial(_fwd_kernel, ws=ws, nheads=nheads, ngx=G,
+                                   has_mask=False, pack=1, cosine=cosine,
+                                   windowed=True)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nW // G),
+            in_specs=[
+                pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, nW, L, C), qkv.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * nW * L * nheads * L * (C // nheads),
+                bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
+                transcendentals=B * nW * L * L,
+            ),
+            interpret=interpret,
+        )(scale_row, qkv, bias)
+    B, Hp, Wp, _ = qkv.shape
     ngy, ngx = Hp // ws, Wp // ws
     pack = _pick_pack(ngx, L)
     Lp = pack * L
     has_mask = mask is not None
     kernel = functools.partial(_fwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
-                               has_mask=has_mask, pack=pack)
+                               has_mask=has_mask, pack=pack, cosine=cosine)
     in_specs = [
         pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -277,16 +345,58 @@ def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret):
     )(*args)
 
 
-def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret):
-    B, Hp, Wp, c3 = qkv.shape
+def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret,
+                cosine=True, windowed=False):
+    c3 = qkv.shape[-1]
     C = c3 // 3
     L = ws * ws
+    if windowed:
+        assert mask is None, "windowed fused mode takes no shift mask"
+        B, nW = qkv.shape[0], qkv.shape[1]
+        G = _pick_group(nW)
+        kernel = functools.partial(_bwd_kernel, ws=ws, nheads=nheads, ngx=G,
+                                   has_mask=False, pack=1, cosine=cosine,
+                                   windowed=True)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nW // G),
+            in_specs=[
+                pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nheads, L), lambda b, g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, nW, L, c3), qkv.dtype),
+                jax.ShapeDtypeStruct((nheads, L, L), jnp.float32),
+                jax.ShapeDtypeStruct((nheads, L), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * B * nW * L * nheads * L * (C // nheads),
+                bytes_accessed=qkv.size * qkv.dtype.itemsize * 3,
+                transcendentals=B * nW * L * L,
+            ),
+            interpret=interpret,
+        )(scale_row, qkv, bias, dout)
+    B, Hp, Wp, _ = qkv.shape
     ngy, ngx = Hp // ws, Wp // ws
     pack = _pick_pack(ngx, L)
     Lp = pack * L
     has_mask = mask is not None
     kernel = functools.partial(_bwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
-                               has_mask=has_mask, pack=pack)
+                               has_mask=has_mask, pack=pack, cosine=cosine)
     in_specs = [
         pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -379,16 +489,20 @@ def _maybe_shard(fn, mesh, n_in_batch_sharded, n_out_batch_sharded,
 
 
 @functools.lru_cache(maxsize=None)
-def _build(ws: int, nheads: int, has_mask: bool, interpret: bool):
-    """custom_vjp-wrapped fused op for one static (ws, heads, mask?) config.
+def _build(ws: int, nheads: int, has_mask: bool, interpret: bool,
+           cosine: bool = True, windowed: bool = False):
+    """custom_vjp-wrapped fused op for one static (ws, heads, mask?, cosine,
+    layout) config.
 
     Forward/backward both consult the active mesh at trace time, so the same
     cached op instance works single-chip and under shard_map'd dp/fsdp.
     """
     fwd_impl = functools.partial(_fwd_pallas, ws=ws, nheads=nheads,
-                                 interpret=interpret)
+                                 interpret=interpret, cosine=cosine,
+                                 windowed=windowed)
     bwd_impl = functools.partial(_bwd_pallas, ws=ws, nheads=nheads,
-                                 interpret=interpret)
+                                 interpret=interpret, cosine=cosine,
+                                 windowed=windowed)
     nargs = 4 if has_mask else 3
 
     def _mesh():
@@ -506,3 +620,47 @@ def fused_swin_attention(qkv: jnp.ndarray, logit_scale: jnp.ndarray,
         return _build(ws, nheads, False, interpret)(qkv, scale_row, bias)
     return _build(ws, nheads, True, interpret)(
         qkv, scale_row, bias, mask.astype(jnp.float32))
+
+
+def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
+                           bias: Optional[jnp.ndarray],
+                           ws: int, nheads: int,
+                           interpret: Optional[bool] = None,
+                           layout: str = "spatial") -> jnp.ndarray:
+    """Fused PLAIN (scaled dot-product) window attention on the
+    unpartitioned spatial layout — the non-cosine sibling of
+    :func:`fused_swin_attention`, powering DaViT spatial blocks
+    (reference torchok/models/backbones/davit.py:168-208) and GCViT local
+    window blocks (reference imports timm gcvit; our
+    models/backbones/gcvit.py). Same kernels, ``cosine=False``: q/k go to
+    the MXU as-is and the backward skips the normalization chain.
+
+    Args:
+        qkv: layout="spatial": (B, Hp, Wp, 3C) fused projection, Hp/Wp
+            multiples of ``ws`` (requires ws % 8 == 0 — Mosaic's sublane
+            relayout); layout="windowed": pre-partitioned (B, nW, L, 3C)
+            windows (any ws — the partition copy runs in XLA, attention
+            still fuses; the mode for ws=7 DaViT / ws=14 GCViT).
+        scale: (H,) per-head logit multipliers (typically head_dim**-0.5).
+        bias: (H, L, L) additive bias (GCViT learned relative position
+            bias — its gradient flows), or None (DaViT: no bias).
+        ws, nheads: static window size / head count.
+        interpret: force Pallas interpreter (defaults to True off-TPU).
+
+    Returns:
+        Same-layout attention output ((B, Hp, Wp, C) or (B, nW, L, C)),
+        same dtype as ``qkv``.
+
+    Raises:
+        _ShardFallback under a multi-device mesh whose data axes do not
+        divide the batch (caller falls back to the XLA formulation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = ws * ws
+    scale_row = scale.astype(jnp.float32).reshape(1, -1)
+    if bias is None:
+        bias = jnp.zeros((nheads, L, L), jnp.float32)
+    return _build(ws, nheads, False, interpret, cosine=False,
+                  windowed=layout == "windowed")(
+        qkv, scale_row, bias.astype(jnp.float32))

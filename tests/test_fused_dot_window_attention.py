@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from torchok_tpu.ops.swin_attention import fused_window_attention
+from torchok_tpu.ops.swin_attention import (fused_window_attention,
+                                            fused_window_attention_global)
 from torchok_tpu.models.backbones.swin import window_partition, window_reverse
 
 
@@ -144,20 +145,91 @@ def test_grads_match_xla(hp, wp, ws, nheads, c, with_bias):
                                rtol=1e-4, atol=1e-4)
 
 
+def _xla_reference_global(kv, qg, scale, bias, ws, nheads):
+    """q_global repeated per window — the GCViT WindowAttentionGlobal math."""
+    b, nw, l, c2 = kv.shape
+    c = c2 // 2
+    d = c // nheads
+    k = kv[..., :c].reshape(-1, l, nheads, d)
+    v = kv[..., c:].reshape(-1, l, nheads, d)
+    q = jnp.repeat(qg, nw, axis=0).reshape(-1, l, nheads, d)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn * scale[None, :, None, None] + bias[None].astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(kv.dtype)
+    ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    return ow.reshape(b, nw, l, c)
+
+
+@pytest.mark.parametrize("nw,ws,nheads,c", [(8, 7, 3, 24), (6, 4, 2, 16)])
+def test_global_q_matches_xla(nw, ws, nheads, c):
+    """Fused global-query mode (GCViT use_global blocks): q shared across
+    an image's windows, broadcast inside the kernel."""
+    rng = np.random.default_rng(5)
+    l = ws * ws
+    kv = jnp.asarray(rng.normal(size=(2, nw, l, 2 * c)), jnp.float32)
+    qg = jnp.asarray(rng.normal(size=(2, l, c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+    got = fused_window_attention_global(kv, qg, scale, bias, ws=ws,
+                                        nheads=nheads, interpret=True)
+    want = _xla_reference_global(kv, qg, scale, bias, ws, nheads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_global_q_grads_match_xla():
+    """dkv per window, dqg summed over the image's windows (the kernel's
+    revisited per-image accumulator), dbias over the whole grid."""
+    nw, ws, nheads, c = 8, 7, 3, 24
+    rng = np.random.default_rng(6)
+    l = ws * ws
+    kv = jnp.asarray(rng.normal(size=(2, nw, l, 2 * c)), jnp.float32)
+    qg = jnp.asarray(rng.normal(size=(2, l, c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, nw, l, c)), jnp.float32)
+
+    def loss_fused(kv_, qg_, bias_):
+        out = fused_window_attention_global(kv_, qg_, scale, bias_, ws=ws,
+                                            nheads=nheads, interpret=True)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_xla(kv_, qg_, bias_):
+        return jnp.sum((_xla_reference_global(kv_, qg_, scale, bias_, ws,
+                                              nheads) - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(kv, qg, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(kv, qg, bias)
+    for f, x, name in zip(gf, gx, ("dkv", "dqg", "dbias")):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(x),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_davit_gcvit_fused_forward_matches_xla_path():
-    """Whole-backbone check: forcing the fused kernel (interpret on CPU)
-    reproduces the windowed XLA formulation with the same params."""
+    """Whole-backbone check: forcing the fused kernels (interpret on CPU)
+    reproduces the windowed XLA formulation with the same params. GCViT
+    exercises both the plain windowed mode (local blocks) and the
+    global-query mode (use_global blocks). Params are random leaves built
+    from eval_shape — a real eager init costs ~60s/model on CPU and the
+    init distribution is irrelevant for path parity."""
     from torchok_tpu.constructor import BACKBONES
 
     for name, hw, tol in (("davit_t", 56, 2e-5), ("gcvit_xxtiny", 56, 2e-5)):
         x = jnp.asarray(
             np.random.default_rng(2).normal(size=(2, hw, hw, 3)), jnp.float32)
+        model = BACKBONES.get(name)(pretrained=False)
+        shapes = jax.eval_shape(
+            lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), x)
+        leaf_rng = np.random.default_rng(7)
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                leaf_rng.normal(scale=0.05, size=s.shape), s.dtype),
+            shapes)
         outs = {}
         for force in (False, True):
             os.environ["TORCHOK_WINDOW_ATTN_PALLAS"] = "1" if force else "0"
             try:
-                model = BACKBONES.get(name)(pretrained=False)
-                variables = model.init(jax.random.PRNGKey(0), x, train=False)
                 outs[force] = model.apply(variables, x, train=False)
             finally:
                 os.environ.pop("TORCHOK_WINDOW_ATTN_PALLAS", None)

@@ -42,7 +42,8 @@ from torchok_tpu.ops.common import DropPath
 from torchok_tpu.ops.image import max_pool
 from torchok_tpu.ops.swin_attention import (_ShardFallback,
                                             fused_attention_enabled,
-                                            fused_window_attention)
+                                            fused_window_attention,
+                                            fused_window_attention_global)
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
 
@@ -163,6 +164,39 @@ class WindowAttentionGlobal(nn.Module):
         c = windows.shape[-1]
         h = self.num_heads
         d = c // h
+        if windows.ndim == 4 and self.use_global:
+            # full (B, Hp, Wp, C) spatial map, global queries: the fused
+            # global-q kernel broadcasts each image's shared queries across
+            # its windows in VMEM (the XLA formulation repeats q nW times
+            # through HBM). Same params as the windowed form.
+            b, hp, wp, _ = windows.shape
+            ws_ = self.window_size
+            l = ws_ * ws_
+            kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                          name="qkv")(windows)
+            bias = RelPosBias(ws_, h, name="rel_pos")()
+            scale = jnp.full((h,), d ** -0.5, jnp.float32)
+            n_w = (hp // ws_) * (wp // ws_)
+            try:
+                if not isinstance(b, int):
+                    raise _ShardFallback()  # symbolic batch: no Pallas grid
+                kvw = window_partition(kv, ws_).reshape(b, n_w, l, 2 * c)
+                ow = fused_window_attention_global(kvw, q_global, scale,
+                                                   bias, ws=ws_, nheads=h)
+                out = window_reverse(ow.reshape(b * n_w, l, c), ws_, hp, wp)
+            except _ShardFallback:
+                win = window_partition(kv, ws_)
+                k = win[..., :c].reshape(-1, l, h, d)
+                v = win[..., c:].reshape(-1, l, h, d)
+                q = jnp.repeat(q_global, win.shape[0] // q_global.shape[0],
+                               axis=0).reshape(-1, l, h, d)
+                attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k,
+                                  preferred_element_type=jnp.float32)
+                attn = attn + bias[None].astype(attn.dtype)
+                attn = jax.nn.softmax(attn, axis=-1).astype(windows.dtype)
+                ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
+                out = window_reverse(ow, ws_, hp, wp)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         if windows.ndim == 4 and not self.use_global:
             # full (B, Hp, Wp, C) spatial map: fused Pallas kernel does
             # partition/attention/reverse in one pass (plain dot-product
@@ -261,11 +295,10 @@ class GlobalContextVitBlock(nn.Module):
         attn_mod = WindowAttentionGlobal(self.num_heads, ws, self.use_global,
                                          self.qkv_bias, dtype=self.dtype,
                                          name="attn")
-        if not self.use_global and fused_attention_enabled(
-                ws, wdt + pad_w, self.num_heads, c):
-            # local blocks ride the fused Pallas kernel on the spatial
-            # layout; global blocks (broadcast q) keep the XLA formulation
-            y = attn_mod(y, None)
+        if fused_attention_enabled(ws, wdt + pad_w, self.num_heads, c):
+            # local blocks ride the fused Pallas kernel; global blocks the
+            # fused global-q kernel (shared queries broadcast in VMEM)
+            y = attn_mod(y, q_global if self.use_global else None)
         else:
             windows = window_partition(y, ws)
             attn = attn_mod(windows, q_global)

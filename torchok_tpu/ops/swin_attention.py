@@ -224,6 +224,89 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
         dqkv_ref[0] = dtile_out.reshape(ws, ngx * ws, c3).astype(dqkv_ref.dtype)
 
 
+def _fwd_kernel_global(scale_ref, kv_ref, qg_ref, bias_ref, out_ref, *,
+                       nheads):
+    """GCViT global-query window attention, forward: every window of an
+    image attends with that image's shared global queries (reference
+    torchok/models/backbones/gcvit.py via timm WindowAttentionGlobal).
+    One group of G windows per program; q is broadcast across the group."""
+    G, L, c2 = kv_ref.shape[1:]
+    C = c2 // 2
+    D = C // nheads
+    kv = kv_ref[0]              # (G, L, 2C)
+    qg = qg_ref[0]              # (L, C) — shared across the image's windows
+    bn = (((2,), (2,)), ((0,), (0,)))
+    heads = []
+    for h in range(nheads):
+        q = jnp.broadcast_to(qg[:, h * D:(h + 1) * D][None], (G, L, D))
+        k = kv[:, :, h * D:(h + 1) * D]
+        v = kv[:, :, C + h * D:C + (h + 1) * D]
+        logits = jax.lax.dot_general(q.astype(kv.dtype), k, bn,
+                                     preferred_element_type=jnp.float32)
+        logits = logits * scale_ref[0, h] + bias_ref[h][None]
+        a = jax.nn.softmax(logits, axis=-1).astype(kv.dtype)
+        heads.append(jax.lax.dot_general(
+            a, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    out_ref[0] = jnp.concatenate(heads, axis=-1).astype(out_ref.dtype)
+
+
+def _bwd_kernel_global(scale_ref, kv_ref, qg_ref, bias_ref, dout_ref,
+                       dkv_ref, dqg_ref, dbias_ref, *, nheads):
+    """Backward for the global-query mode. dqg accumulates across the
+    image's window groups (output revisited over the minor grid dim);
+    dbias accumulates across the whole grid."""
+    G, L, c2 = kv_ref.shape[1:]
+    C = c2 // 2
+    D = C // nheads
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dqg_ref[...] = jnp.zeros(dqg_ref.shape, dqg_ref.dtype)
+
+    kv = kv_ref[0]
+    qg = qg_ref[0]
+    dout = dout_ref[0]          # (G, L, C)
+    dk_parts, dv_parts, dq_parts = [], [], []
+    for h in range(nheads):
+        s = scale_ref[0, h]
+        q = jnp.broadcast_to(qg[:, h * D:(h + 1) * D][None], (G, L, D))
+        q = q.astype(kv.dtype)
+        k = kv[:, :, h * D:(h + 1) * D]
+        v = kv[:, :, C + h * D:C + (h + 1) * D]
+        do = dout[:, :, h * D:(h + 1) * D]
+
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        logits = logits * s + bias_ref[h][None]
+        a32 = jax.nn.softmax(logits, axis=-1)
+        a = a32.astype(kv.dtype)
+
+        dv = jax.lax.dot_general(a, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        da = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dl = a32 * (da - jnp.sum(da * a32, axis=-1, keepdims=True))
+        dbias_ref[h] = dbias_ref[h] + jnp.sum(dl, axis=0)
+        dls = (dl * s).astype(kv.dtype)
+        # dq[g,q,d] = sum_k dls[g,q,k] k[g,k,d]; windows sum into shared q
+        dq = jax.lax.dot_general(dls, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq_parts.append(jnp.sum(dq, axis=0))
+        dk_parts.append(jax.lax.dot_general(
+            dls, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dv_parts.append(dv)
+    dkv_ref[0] = jnp.concatenate(
+        [jnp.concatenate(dk_parts, axis=-1),
+         jnp.concatenate(dv_parts, axis=-1)], axis=-1).astype(dkv_ref.dtype)
+    dqg_ref[0] = dqg_ref[0] + jnp.concatenate(dq_parts, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
@@ -450,6 +533,79 @@ def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret,
     return dqkv, dbias_p, dscale_p
 
 
+def _fwd_pallas_global(kv, qg, scale_row, bias, *, ws, nheads, interpret):
+    B, nW, L, c2 = kv.shape
+    C = c2 // 2
+    G = _pick_group(nW)
+    kernel = functools.partial(_fwd_kernel_global, nheads=nheads)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nW // G),
+        in_specs=[
+            pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, L, c2), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, C), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nW, L, C), kv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nW * L * nheads * L * (C // nheads),
+            bytes_accessed=kv.size * kv.dtype.itemsize * 2,
+            transcendentals=B * nW * L * L,
+        ),
+        interpret=interpret,
+    )(scale_row, kv, qg, bias)
+
+
+def _bwd_pallas_global(kv, qg, scale_row, bias, dout, *, ws, nheads,
+                       interpret):
+    B, nW, L, c2 = kv.shape
+    C = c2 // 2
+    G = _pick_group(nW)
+    kernel = functools.partial(_bwd_kernel_global, nheads=nheads)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nW // G),
+        in_specs=[
+            pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, L, c2), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, C), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, G, L, c2), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, C), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nW, L, c2), kv.dtype),     # dkv
+            jax.ShapeDtypeStruct((B, L, C), jnp.float32),       # dqg (revisited per b)
+            jax.ShapeDtypeStruct((nheads, L, L), jnp.float32),  # dbias (revisited)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * nW * L * nheads * L * (C // nheads),
+            bytes_accessed=kv.size * kv.dtype.itemsize * 3,
+            transcendentals=B * nW * L * L,
+        ),
+        interpret=interpret,
+    )(scale_row, kv, qg, bias, dout)
+
+
 def _maybe_shard(fn, mesh, n_in_batch_sharded, n_out_batch_sharded,
                  n_out_summed, batch):
     """Wrap a pallas caller in shard_map over the mesh's data axes when a
@@ -564,6 +720,49 @@ def _build(ws: int, nheads: int, has_mask: bool, interpret: bool,
     return op
 
 
+@functools.lru_cache(maxsize=None)
+def _build_global(ws: int, nheads: int, interpret: bool):
+    """custom_vjp-wrapped fused GLOBAL-query window attention (GCViT):
+    kv is per-window, q is the image's shared global-token projection."""
+    fwd_impl = functools.partial(_fwd_pallas_global, ws=ws, nheads=nheads,
+                                 interpret=interpret)
+    bwd_impl = functools.partial(_bwd_pallas_global, ws=ws, nheads=nheads,
+                                 interpret=interpret)
+
+    def _mesh():
+        from torchok_tpu.parallel import get_current_mesh
+        return get_current_mesh()
+
+    @jax.custom_vjp
+    def op(kv, qg, scale_row, bias):
+        wrapped = _maybe_shard(fwd_impl, _mesh(),
+                               {"n_args": 4, "sharded": 2}, 1, 0,
+                               kv.shape[0])
+        if wrapped is None:
+            raise _ShardFallback()
+        return wrapped(kv, qg, scale_row, bias)
+
+    def fwd(kv, qg, scale_row, bias):
+        return op(kv, qg, scale_row, bias), (kv, qg, scale_row, bias)
+
+    def bwd(res, g):
+        kv, qg, scale_row, bias = res
+
+        def flat(kv_, qg_, dout_, scale_, bias_):
+            return bwd_impl(kv_, qg_, scale_, bias_, dout_)
+
+        wrapped = _maybe_shard(flat, _mesh(),
+                               {"n_args": 5, "sharded": 3}, 2, 1,
+                               kv.shape[0])
+        if wrapped is None:
+            raise _ShardFallback()
+        dkv, dqg, dbias = wrapped(kv, qg, g, scale_row, bias)
+        return dkv, dqg.astype(qg.dtype), jnp.zeros_like(scale_row), dbias
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 class _ShardFallback(Exception):
     """Batch does not divide the data axes — caller must use the XLA path."""
 
@@ -664,3 +863,38 @@ def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
     return _build(ws, nheads, False, interpret, cosine=False,
                   windowed=layout == "windowed")(
         qkv, scale_row, bias.astype(jnp.float32))
+
+
+def fused_window_attention_global(kv: jnp.ndarray, q_global: jnp.ndarray,
+                                  scale: jnp.ndarray, bias: jnp.ndarray,
+                                  ws: int, nheads: int,
+                                  interpret: Optional[bool] = None
+                                  ) -> jnp.ndarray:
+    """Fused GCViT global-query window attention: every window of an image
+    attends with the image's shared global-token queries (reference imports
+    timm gcvit — WindowAttentionGlobal with use_global; our
+    models/backbones/gcvit.py). The q broadcast never materializes per
+    window in HBM (the XLA formulation repeats q nW times), logits stay in
+    VMEM, and the backward fuses dkv/dqg/dbias with dqg accumulated across
+    the image's window groups by output revisiting.
+
+    Args:
+        kv: (B, nW, L, 2C) pre-partitioned key/value projection windows.
+        q_global: (B, L, C) shared global queries per image.
+        scale: (H,) per-head logit multipliers (head_dim**-0.5, non-learned).
+        bias: (H, L, L) learned relative position bias (gradient flows).
+        ws, nheads: static window size / head count.
+        interpret: force Pallas interpreter (defaults to True off-TPU).
+
+    Returns:
+        (B, nW, L, C) attention output, same dtype as ``kv``.
+
+    Raises:
+        _ShardFallback under a multi-device mesh whose data axes do not
+        divide the batch (caller falls back to the XLA formulation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scale_row = scale.astype(jnp.float32).reshape(1, -1)
+    return _build_global(ws, nheads, interpret)(
+        kv, q_global, scale_row, bias.astype(jnp.float32))

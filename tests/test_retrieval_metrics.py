@@ -70,6 +70,86 @@ def test_knn_sop_scale_memory_bounded():
     assert np.all(scores[:, 0] >= scores[:, 1])
 
 
+def _clustered(rng, n_clusters, per_cluster, d, spread=0.05):
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per_cluster, axis=0)
+    pts = pts + rng.normal(scale=spread, size=pts.shape).astype(np.float32)
+    return pts.astype(np.float32)
+
+
+@pytest.mark.parametrize("metric", ["IP", "L2"])
+def test_ivf_index_high_recall_on_clustered_data(metric):
+    """The on-TPU IVF (faiss.IndexIVFFlat equivalent): with enough probes,
+    top-1 on clustered data matches the exact index almost everywhere."""
+    from torchok_tpu.ops.knn import IvfIndex
+
+    rng = np.random.default_rng(10)
+    gallery = _clustered(rng, n_clusters=32, per_cluster=64, d=32)
+    queries = gallery[rng.choice(len(gallery), size=128, replace=False)]
+    exact = TpuIndex(gallery, metric=metric)
+    ivf = IvfIndex(gallery, metric=metric, nlist=32, nprobe=8, seed=0)
+    s_e, i_e = exact.search(queries, k=1)
+    s_a, i_a = ivf.search(queries, k=1)
+    recall = float(np.mean(i_a[:, 0] == i_e[:, 0]))
+    assert recall >= 0.95, recall
+    hit = i_a[:, 0] == i_e[:, 0]
+    np.testing.assert_allclose(s_a[hit, 0], s_e[hit, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_index_padding_semantics():
+    """faiss parity: slots beyond the probed cells' members come back as
+    index -1 with the worst score."""
+    from torchok_tpu.ops.knn import IvfIndex
+
+    rng = np.random.default_rng(11)
+    gallery = _clustered(rng, n_clusters=4, per_cluster=8, d=8)
+    ivf = IvfIndex(gallery, metric="IP", nlist=4, nprobe=1, seed=0)
+    queries = gallery[:3]
+    scores, idxs = ivf.search(queries, k=31)
+    assert idxs.shape == (3, 31)
+    # one probed cell holds ~8 members; the tail must be -1 / -inf
+    assert np.all(idxs[:, -1] == -1)
+    assert np.all(np.isneginf(scores[:, -1]))
+    # returned real hits are sorted descending
+    for r in range(3):
+        real = scores[r][idxs[r] >= 0]
+        assert np.all(np.diff(real) <= 1e-6)
+
+
+def test_ivf_kmeans_partitions_clusters():
+    """Lloyd's on-device k-means recovers well-separated clusters: members
+    of one true cluster land in the same cell."""
+    from torchok_tpu.ops.knn import kmeans
+
+    rng = np.random.default_rng(12)
+    pts = _clustered(rng, n_clusters=8, per_cluster=32, d=16, spread=0.01)
+    _, assign = kmeans(pts, nlist=8, n_iter=15, metric="L2", seed=1)
+    purity = 0
+    for c in range(8):
+        cells = assign[c * 32:(c + 1) * 32]
+        purity += np.max(np.bincount(cells, minlength=8))
+    assert purity / len(pts) >= 0.9
+
+
+def test_meter_uses_ivf_above_threshold(classification_state=None):
+    """IndexBasedMeter with exact_index=False and a low ivf_threshold runs
+    the IVF path end to end and still recovers classmates on easy data."""
+    from torchok_tpu.metrics.representation import HitAtKMeter
+
+    rng = np.random.default_rng(13)
+    n_classes, per_class = 16, 16
+    vectors = _clustered(rng, n_classes, per_class, d=16, spread=0.02)
+    labels = np.repeat(np.arange(n_classes), per_class)
+    meter = HitAtKMeter(dataset_type="classification", exact_index=False,
+                        metric_distance="IP", k=1, normalize_vectors=True,
+                        ivf_threshold=64, ivf_nlist=16, ivf_nprobe=4)
+    state = meter.empty_state()
+    meter.update(state, vectors=vectors, group_labels=labels)
+    value = float(meter.compute(state))
+    assert value >= 0.95, value
+
+
 def _embed(angle):
     return [np.cos(angle), np.sin(angle)]
 

@@ -6,10 +6,12 @@ query_idxs/scores) across the eval epoch, builds a nearest-neighbor index
 over the gallery and feeds ranked lists into ranking metric functions.
 
 TPU-native redesign (SURVEY.md §7.5): the FAISS CPU index is replaced by an
-on-TPU brute-force matmul + ``lax.top_k`` (ops/knn.py) — exact for both the
-"exact" and "approximate" reference modes. The k+1 search with query-self
-removal, classification vs representation data preparation, group
-averaging, and k_as_target_len semantics are preserved from the reference.
+on-TPU brute-force matmul + ``lax.top_k`` (ops/knn.py) — exact for the
+"exact" mode and for "approximate" galleries below ``ivf_threshold`` rows;
+larger approximate galleries use the on-TPU IVF (ops/knn.py IvfIndex, the
+faiss.IndexIVFFlat equivalent). The k+1 search with query-self removal,
+classification vs representation data preparation, group averaging, and
+k_as_target_len semantics are preserved from the reference.
 """
 from __future__ import annotations
 
@@ -19,7 +21,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from torchok_tpu.metrics.base import Metric
-from torchok_tpu.ops.knn import TpuIndex
+from torchok_tpu.ops.knn import IvfIndex, TpuIndex
 
 logger = logging.getLogger(__name__)
 
@@ -35,13 +37,21 @@ class IndexBasedMeter(Metric):
                  k: Optional[int] = None, use_batching_search: bool = True,
                  search_batch_size: Optional[int] = None,
                  normalize_vectors: bool = False, group_averaging: bool = False,
-                 raise_empty_query: bool = True, **kwargs):
+                 raise_empty_query: bool = True,
+                 ivf_threshold: int = 200_000, ivf_nlist: Optional[int] = None,
+                 ivf_nprobe: int = 8, **kwargs):
         super().__init__(**kwargs)
         if dataset_type not in DATASET_TYPES:
             raise ValueError(f"dataset_type must be one of {DATASET_TYPES}")
         if metric_distance not in METRIC_DISTANCES:
             raise ValueError(f"metric_distance must be one of {METRIC_DISTANCES}")
-        self.exact_index = exact_index  # kept for config parity; both are exact on TPU
+        # exact_index=False switches to the on-TPU IVF above ivf_threshold
+        # gallery rows; smaller "approximate" galleries stay exact (faster
+        # AND a recall superset at those sizes — see ops/knn.py docstring)
+        self.exact_index = exact_index
+        self.ivf_threshold = ivf_threshold
+        self.ivf_nlist = ivf_nlist
+        self.ivf_nprobe = ivf_nprobe
         self.dataset_type = dataset_type
         self.metric_distance = metric_distance
         self.metric_func = metric_func
@@ -169,7 +179,15 @@ class IndexBasedMeter(Metric):
             (relevant_idxs, gallery_idxs, query_column_idxs, query_row_idxs,
              query_as_relevant) = self.prepare_representation_data(query_idxs, scores)
 
-        index = TpuIndex(vectors[gallery_idxs], metric=self.metric_distance)
+        gallery_vectors = vectors[gallery_idxs]
+        if not self.exact_index and len(gallery_vectors) >= self.ivf_threshold:
+            # true IVF only where the dense matmul genuinely dominates;
+            # below the threshold "approximate" configs get exact results
+            # (a valid superset of IVF's recall contract)
+            index = IvfIndex(gallery_vectors, metric=self.metric_distance,
+                             nlist=self.ivf_nlist, nprobe=self.ivf_nprobe)
+        else:
+            index = TpuIndex(gallery_vectors, metric=self.metric_distance)
 
         if self.group_averaging:
             uniq = np.unique(group_labels)

@@ -117,6 +117,24 @@ def test_ivf_index_padding_semantics():
         assert np.all(np.diff(real) <= 1e-6)
 
 
+def test_ivf_collapsed_embeddings_stay_bounded():
+    """Near-duplicate embeddings (collapsed model mid-training) skew k-means
+    into one giant cell; the index must truncate to the cap instead of
+    padding every cell to ~n (device OOM on real galleries) and still
+    search without error."""
+    from torchok_tpu.ops.knn import IvfIndex
+
+    rng = np.random.default_rng(14)
+    base = rng.normal(size=(1, 16)).astype(np.float32)
+    gallery = base + rng.normal(scale=1e-4, size=(512, 16)).astype(np.float32)
+    ivf = IvfIndex(gallery, metric="IP", nlist=16, nprobe=2, seed=0,
+                   cell_cap_factor=2.0)
+    assert ivf.members.shape[1] <= max(64, int(np.ceil(2.0 * 512 / 16)))
+    scores, idxs = ivf.search(gallery[:8], k=4)
+    assert idxs.shape == (8, 4)
+    assert np.all(idxs[:, 0] >= 0)
+
+
 def test_ivf_kmeans_partitions_clusters():
     """Lloyd's on-device k-means recovers well-separated clusters: members
     of one true cluster land in the same cell."""
@@ -132,7 +150,7 @@ def test_ivf_kmeans_partitions_clusters():
     assert purity / len(pts) >= 0.9
 
 
-def test_meter_uses_ivf_above_threshold(classification_state=None):
+def test_meter_uses_ivf_above_threshold():
     """IndexBasedMeter with exact_index=False and a low ivf_threshold runs
     the IVF path end to end and still recovers classmates on easy data."""
     from torchok_tpu.metrics.representation import HitAtKMeter

@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-3b serial TPU measurement queue (only ONE process may hold the chip):
+# validates + A/Bs the new fused kernel modes on real hardware.
+# Logs under /tmp/r3b_runs.
+set -u
+cd /root/repo
+mkdir -p /tmp/r3b_runs
+
+# 1. DaViT / GCViT train-step A/B: fused dot-product + global-q kernels
+#    vs the XLA formulation (also the Mosaic compile check for the
+#    windowed-layout and global-q modes)
+echo "=== probe_davit_gcvit: $(date +%H:%M:%S) ==="
+timeout 5400 python tools/probe_davit_gcvit.py davit_t gcvit_tiny \
+  > /tmp/r3b_runs/davit_gcvit_ab.log 2>&1
+echo "exit=$?"; grep -E "speedup|img" /tmp/r3b_runs/davit_gcvit_ab.log | tail -8
+
+# 2. bench regression (swin fused default unchanged, resnet rows stable)
+echo "=== bench: $(date +%H:%M:%S) ==="
+timeout 3600 python bench.py > /tmp/r3b_runs/bench.log 2>&1
+echo "exit=$?"; tail -1 /tmp/r3b_runs/bench.log
+
+echo "=== all done: $(date +%H:%M:%S) ==="

@@ -19,6 +19,7 @@ Semantics parity with faiss IndexFlat/IndexIVFFlat:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -131,19 +132,24 @@ def kmeans(vectors: np.ndarray, nlist: int, n_iter: int = 10,
     n, d = vectors.shape
     rng = np.random.default_rng(seed)
     cent = jnp.asarray(vectors[rng.choice(n, size=nlist, replace=False)])
-    assign = None
     for _ in range(n_iter):
         sums = jnp.zeros((nlist, d), jnp.float32)
         counts = jnp.zeros((nlist,), jnp.float32)
-        parts = []
         for i in range(0, n, chunk):
-            s, c, a = _kmeans_assign_accumulate(
+            s, c, _ = _kmeans_assign_accumulate(
                 jnp.asarray(vectors[i:i + chunk]), cent, nlist, metric)
             sums, counts = sums + s, counts + c
-            parts.append(np.asarray(a))
-        assign = np.concatenate(parts)
         cent = jnp.where(counts[:, None] > 0, sums / counts[:, None], cent)
-    return np.asarray(cent), assign
+    # final assignment pass against the TRAINED centroids — building lists
+    # from the last in-loop assignment would leave them one iteration stale
+    # relative to the quantizer the search probes with (faiss assigns with
+    # the final quantizer too)
+    parts = []
+    for i in range(0, n, chunk):
+        _, _, a = _kmeans_assign_accumulate(
+            jnp.asarray(vectors[i:i + chunk]), cent, nlist, metric)
+        parts.append(np.asarray(a))
+    return np.asarray(cent), np.concatenate(parts)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
@@ -193,9 +199,14 @@ class IvfIndex:
     — on TPU the probe matmul is cheap and recall at nprobe=1 is poor.
     """
 
+    # per-search-block candidate-gather budget: bounds the (B, nprobe*cap, D)
+    # f32 gather that scores probed members
+    _GATHER_BUDGET_BYTES = 256 * 1024 * 1024
+
     def __init__(self, vectors: np.ndarray, metric: str = "IP",
                  nlist: Optional[int] = None, nprobe: int = 8,
-                 n_iter: int = 10, query_block: int = 256, seed: int = 0):
+                 n_iter: int = 10, query_block: int = 256, seed: int = 0,
+                 cell_cap_factor: float = 8.0):
         assert metric in ("IP", "L2")
         self.metric = metric
         vectors = np.ascontiguousarray(vectors, np.float32)
@@ -212,27 +223,46 @@ class IvfIndex:
                               metric=metric, seed=seed)
         self.centroids = jnp.asarray(cent)
         counts = np.bincount(assign, minlength=self.nlist)
+        # cells are padded to a common capacity so search shapes are static;
+        # a collapsed clustering (near-duplicate embeddings) would otherwise
+        # blow cap up to ~n and the search gather to device OOM. Oversized
+        # cells are truncated — an approximate-recall tradeoff, warned about.
         cap = max(1, int(counts.max()))
+        cap_limit = max(64, int(np.ceil(cell_cap_factor * n / self.nlist)))
+        if cap > cap_limit:
+            dropped = int(np.sum(np.maximum(counts - cap_limit, 0)))
+            logging.getLogger(__name__).warning(
+                "IvfIndex: skewed clustering (max cell %d > cap %d); "
+                "truncating %d of %d members (%.2f%%) — recall on those "
+                "rows is lost; consider exact search or more k-means iters",
+                cap, cap_limit, dropped, n, 100.0 * dropped / n)
+            cap = cap_limit
         members = np.full((self.nlist, cap), -1, np.int32)
         fill = np.zeros(self.nlist, np.int64)
         for row, cell in enumerate(assign):
-            members[cell, fill[cell]] = row
-            fill[cell] += 1
+            if fill[cell] < cap:
+                members[cell, fill[cell]] = row
+                fill[cell] += 1
         self.members = jnp.asarray(members)
 
     def search(self, queries: np.ndarray, k: int
                ) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.ascontiguousarray(queries, np.float32)
-        n = queries.shape[0]
-        k_eff = min(k, self.nprobe * self.members.shape[1])
+        n, d = queries.shape
+        cap = self.members.shape[1]
+        k_eff = min(k, self.nprobe * cap)
         pad_score = -np.inf if self.metric == "IP" else np.inf
         out_scores = np.full((n, k), pad_score, np.float32)
         out_idxs = np.full((n, k), -1, np.int64)
-        for i in range(0, n, self.query_block):
-            q = jnp.asarray(queries[i:i + self.query_block])
+        # keep the (B, nprobe*cap, D) candidate gather under budget
+        block = max(1, min(self.query_block,
+                           self._GATHER_BUDGET_BYTES
+                           // max(1, self.nprobe * cap * d * 4)))
+        for i in range(0, n, block):
+            q = jnp.asarray(queries[i:i + block])
             s, ix = _ivf_search_block(self.gallery, self.centroids,
                                       self.members, q, k_eff, self.nprobe,
                                       self.metric)
-            out_scores[i:i + self.query_block, :k_eff] = np.asarray(s)
-            out_idxs[i:i + self.query_block, :k_eff] = np.asarray(ix, np.int64)
+            out_scores[i:i + block, :k_eff] = np.asarray(s)
+            out_idxs[i:i + block, :k_eff] = np.asarray(ix, np.int64)
         return out_scores, out_idxs

@@ -17,11 +17,10 @@ import jax.numpy as jnp
 from torchok_tpu.constructor import BACKBONES
 from torchok_tpu.models.base import BaseBackbone
 from torchok_tpu.models.modules.bricks.mlp import Mlp
-from torchok_tpu.models.backbones.swin import window_partition, window_reverse
 from torchok_tpu.ops.common import DropPath
-from torchok_tpu.ops.swin_attention import (_ShardFallback,
-                                            fused_attention_enabled,
-                                            fused_window_attention)
+from torchok_tpu.ops.swin_attention import (fused_attention_enabled,
+                                            window_attention_spatial,
+                                            window_partition, window_reverse)
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
 
@@ -90,39 +89,9 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         if x.ndim == 4:
-            b, hp, wp, _ = x.shape
-            ws_ = self.window_size
-            l_ = ws_ * ws_
             scale = jnp.full((h,), d ** -0.5, jnp.float32)
-            try:
-                if not isinstance(b, int):
-                    raise _ShardFallback()  # symbolic batch: no Pallas grid
-                if ws_ % 8 == 0:
-                    out = fused_window_attention(qkv, scale, None,
-                                                 ws=ws_, nheads=h)
-                else:
-                    # sublane-misaligned window (ws=7): partition in XLA,
-                    # attention still fused (windowed-input kernel mode)
-                    n_w = (hp // ws_) * (wp // ws_)
-                    win = window_partition(qkv, ws_).reshape(b, n_w, l_,
-                                                             3 * c)
-                    ow = fused_window_attention(win, scale, None, ws=ws_,
-                                                nheads=h, layout="windowed")
-                    out = window_reverse(ow.reshape(b * n_w, l_, c),
-                                         ws_, hp, wp)
-            except _ShardFallback:
-                # batch does not divide the active mesh's data axes: run
-                # the XLA formulation on explicit windows instead
-                win = window_partition(qkv, self.window_size)
-                l = self.window_size * self.window_size
-                q = win[..., :c].reshape(-1, l, h, d)
-                k = win[..., c:2 * c].reshape(-1, l, h, d)
-                v = win[..., 2 * c:].reshape(-1, l, h, d)
-                attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k,
-                                  preferred_element_type=jnp.float32)
-                attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-                ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
-                out = window_reverse(ow, self.window_size, hp, wp)
+            out = window_attention_spatial(qkv, scale, None,
+                                           ws=self.window_size, nheads=h)
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         b_, l, _ = x.shape
         qkv = qkv.reshape(b_, l, 3, h, d).transpose(2, 0, 3, 1, 4)

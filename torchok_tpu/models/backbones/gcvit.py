@@ -37,13 +37,11 @@ from torchok_tpu.constructor import BACKBONES
 from torchok_tpu.models.base import BaseBackbone
 from torchok_tpu.models.modules.blocks.se import SEModule
 from torchok_tpu.models.modules.bricks.mlp import Mlp, gelu_exact
-from torchok_tpu.models.backbones.swin import window_partition, window_reverse
 from torchok_tpu.ops.common import DropPath
 from torchok_tpu.ops.image import max_pool
-from torchok_tpu.ops.swin_attention import (_ShardFallback,
-                                            fused_attention_enabled,
-                                            fused_window_attention,
-                                            fused_window_attention_global)
+from torchok_tpu.ops.swin_attention import (fused_attention_enabled,
+                                            window_attention_spatial,
+                                            window_partition, window_reverse)
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
 
 
@@ -164,78 +162,22 @@ class WindowAttentionGlobal(nn.Module):
         c = windows.shape[-1]
         h = self.num_heads
         d = c // h
-        if windows.ndim == 4 and self.use_global:
-            # full (B, Hp, Wp, C) spatial map, global queries: the fused
-            # global-q kernel broadcasts each image's shared queries across
-            # its windows in VMEM (the XLA formulation repeats q nW times
-            # through HBM). Same params as the windowed form.
-            b, hp, wp, _ = windows.shape
-            ws_ = self.window_size
-            l = ws_ * ws_
-            kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                          name="qkv")(windows)
-            bias = RelPosBias(ws_, h, name="rel_pos")()
-            scale = jnp.full((h,), d ** -0.5, jnp.float32)
-            n_w = (hp // ws_) * (wp // ws_)
-            try:
-                if not isinstance(b, int):
-                    raise _ShardFallback()  # symbolic batch: no Pallas grid
-                kvw = window_partition(kv, ws_).reshape(b, n_w, l, 2 * c)
-                ow = fused_window_attention_global(kvw, q_global, scale,
-                                                   bias, ws=ws_, nheads=h)
-                out = window_reverse(ow.reshape(b * n_w, l, c), ws_, hp, wp)
-            except _ShardFallback:
-                win = window_partition(kv, ws_)
-                k = win[..., :c].reshape(-1, l, h, d)
-                v = win[..., c:].reshape(-1, l, h, d)
-                q = jnp.repeat(q_global, win.shape[0] // q_global.shape[0],
-                               axis=0).reshape(-1, l, h, d)
-                attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k,
-                                  preferred_element_type=jnp.float32)
-                attn = attn + bias[None].astype(attn.dtype)
-                attn = jax.nn.softmax(attn, axis=-1).astype(windows.dtype)
-                ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
-                out = window_reverse(ow, ws_, hp, wp)
-            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
-        if windows.ndim == 4 and not self.use_global:
-            # full (B, Hp, Wp, C) spatial map: fused Pallas kernel does
-            # partition/attention/reverse in one pass (plain dot-product
-            # mode; the learned rel-pos bias gradient flows through the
-            # kernel's dbias accumulator). Same params as the windowed form.
-            b, hp, wp, _ = windows.shape
-            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                           name="qkv")(windows)
+        if windows.ndim == 4:
+            # full (B, Hp, Wp, C) spatial map: single fused/XLA dispatch
+            # (ops/swin_attention.py window_attention_spatial). Local blocks
+            # use the plain dot-product kernel; global blocks the global-q
+            # kernel (the image's shared queries broadcast in VMEM instead
+            # of repeated nW times through HBM). The learned rel-pos bias
+            # gradient flows through the kernels' dbias accumulators.
+            # Params are identical to the windowed form either way.
+            proj_dim = 2 * c if self.use_global else 3 * c
+            proj = nn.Dense(proj_dim, use_bias=self.qkv_bias,
+                            dtype=self.dtype, name="qkv")(windows)
             bias = RelPosBias(self.window_size, h, name="rel_pos")()
-            l = self.window_size * self.window_size
-            ws_ = self.window_size
             scale = jnp.full((h,), d ** -0.5, jnp.float32)
-            try:
-                if not isinstance(b, int):
-                    raise _ShardFallback()  # symbolic batch: no Pallas grid
-                if ws_ % 8 == 0:
-                    out = fused_window_attention(qkv, scale, bias,
-                                                 ws=ws_, nheads=h)
-                else:
-                    # sublane-misaligned window (ws=7/14): partition in XLA,
-                    # attention still fused (windowed-input kernel mode)
-                    n_w = (hp // ws_) * (wp // ws_)
-                    win = window_partition(qkv, ws_).reshape(b, n_w, l,
-                                                             3 * c)
-                    ow = fused_window_attention(win, scale, bias, ws=ws_,
-                                                nheads=h, layout="windowed")
-                    out = window_reverse(ow.reshape(b * n_w, l, c),
-                                         ws_, hp, wp)
-            except _ShardFallback:
-                win = window_partition(qkv, self.window_size)
-                q = win[..., :c].reshape(-1, l, h, d)
-                k = win[..., c:2 * c].reshape(-1, l, h, d)
-                v = win[..., 2 * c:].reshape(-1, l, h, d)
-                attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d ** -0.5), k,
-                                  preferred_element_type=jnp.float32)
-                attn = attn + bias[None].astype(attn.dtype)
-                attn = jax.nn.softmax(attn, axis=-1).astype(windows.dtype)
-                ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
-                out = window_reverse(ow, self.window_size, hp, wp)
+            out = window_attention_spatial(
+                proj, scale, bias, ws=self.window_size, nheads=h,
+                q_global=q_global if self.use_global else None)
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         b_, l, c = windows.shape
         if self.use_global:

@@ -29,26 +29,11 @@ from torchok_tpu.models.modules.bricks.mlp import Mlp
 from torchok_tpu.ops.common import DropPath, trunc_normal_init
 from torchok_tpu.ops.swin_attention import (_ShardFallback,
                                             fused_attention_enabled,
-                                            fused_swin_attention)
+                                            fused_swin_attention,
+                                            window_partition,  # noqa: F401 — re-export
+                                            window_reverse)
 from torchok_tpu.ops.window_attention import window_attention
 from torchok_tpu.utils.pretrained import maybe_load_pretrained
-
-
-def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
-    """(B, H, W, C) -> (B*nW, ws*ws, C)"""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(-1, ws * ws, c)
-
-
-def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
-    """(B*nW, ws*ws, C) -> (B, H, W, C)"""
-    c = windows.shape[-1]
-    b = windows.shape[0] // (h * w // ws // ws)
-    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h, w, c)
 
 
 def _relative_coords_table(ws: int, pretrained_ws: int) -> np.ndarray:

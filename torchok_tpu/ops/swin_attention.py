@@ -70,11 +70,29 @@ def _norm_rows(x):
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
 
 
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)"""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)"""
+    c = windows.shape[-1]
+    b = windows.shape[0] // (h * w // ws // ws)
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
-                has_mask, pack=1, cosine=True, windowed=False):
+def _fwd_kernel(scale_ref, qkv_ref, *rest, ws, nheads, ngx,
+                has_mask, pack=1, cosine=True, windowed=False,
+                has_bias=True):
     """One row of ``ngx`` windows per program. Every matmul is a single
     batched dot_general over the window axis — per-window unrolling issued
     24+ tiny VPU/MXU ops per row and ran ~5x slower (round-3 TPU probe).
@@ -84,6 +102,8 @@ def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
     128x128 on M/N (full MXU face) at 2x masked FLOPs; ``bias_ref`` /
     ``mask_ref`` arrive pre-packed block-diagonally with -1e9 between
     windows, which makes the packed softmax exactly block-diagonal."""
+    if has_bias:
+        bias_ref, *rest = rest
     if has_mask:
         mask_ref, out_ref = rest
     else:
@@ -119,7 +139,9 @@ def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
             kn = row[:, :, C + h * D:C + (h + 1) * D]
         logits = jax.lax.dot_general(qn, kn, bn,
                                      preferred_element_type=jnp.float32)
-        logits = logits * scale_ref[0, h] + bias_ref[h][None]
+        logits = logits * scale_ref[0, h]
+        if has_bias:
+            logits = logits + bias_ref[h][None]
         if has_mask:
             logits = logits + mask_ref[...]
         a = jax.nn.softmax(logits, axis=-1).astype(row.dtype)
@@ -134,13 +156,24 @@ def _fwd_kernel(scale_ref, qkv_ref, bias_ref, *rest, ws, nheads, ngx,
         out_ref[0] = o.reshape(ws, ngx * ws, C).astype(out_ref.dtype)
 
 
-def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
+def _bwd_kernel(scale_ref, qkv_ref, *rest,
                 ws, nheads, ngx, has_mask, pack=1, cosine=True,
-                windowed=False):
+                windowed=False, has_bias=True):
+    # inputs: [bias], dout, [mask]; outputs: dqkv, [dbias], [dscale].
+    # dbias exists iff the bias input does; dscale only in cosine mode
+    # (the plain dot-product callers pass a constant head_dim**-0.5)
+    bias_ref = None
+    if has_bias:
+        bias_ref, *rest = rest
+    dout_ref, *rest = rest
+    mask_ref = None
     if has_mask:
-        mask_ref, dqkv_ref, dbias_ref, dscale_ref = rest
-    else:
-        dqkv_ref, dbias_ref, dscale_ref = rest
+        mask_ref, *rest = rest
+    dqkv_ref, *rest = rest
+    dbias_ref = None
+    if has_bias:
+        dbias_ref, *rest = rest
+    dscale_ref = rest[0] if cosine else None
     L = ws * ws
     Lp = pack * L
     ng = ngx // pack
@@ -152,8 +185,10 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
 
     @pl.when(is_first)
     def _():
-        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
-        dscale_ref[...] = jnp.zeros(dscale_ref.shape, dscale_ref.dtype)
+        if has_bias:
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+        if cosine:
+            dscale_ref[...] = jnp.zeros(dscale_ref.shape, dscale_ref.dtype)
 
     if windowed:
         row = qkv_ref[0]
@@ -180,7 +215,9 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
             kn = row[:, :, C + h * D:C + (h + 1) * D]
         cos = jax.lax.dot_general(qn, kn, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.float32)
-        logits = cos * s + bias_ref[h][None]
+        logits = cos * s
+        if has_bias:
+            logits = logits + bias_ref[h][None]
         if has_mask:
             logits = logits + mask_ref[...]
         a32 = jax.nn.softmax(logits, axis=-1)
@@ -195,8 +232,11 @@ def _bwd_kernel(scale_ref, qkv_ref, bias_ref, dout_ref, *rest,
         # softmax backward -> dlogits
         dl = a32 * (da - jnp.sum(da * a32, axis=-1, keepdims=True))
 
-        dbias_ref[h] = dbias_ref[h] + jnp.sum(dl, axis=0)
-        dscale_ref[h, :] = dscale_ref[h, :] + jnp.sum(dl * cos, axis=(0, 2))
+        if has_bias:
+            dbias_ref[h] = dbias_ref[h] + jnp.sum(dl, axis=0)
+        if cosine:
+            dscale_ref[h, :] = dscale_ref[h, :] + jnp.sum(dl * cos,
+                                                          axis=(0, 2))
 
         dls = (dl * s).astype(row.dtype)
         # dqn[b,q,d] = sum_k dls[b,q,k] kn[b,k,d]
@@ -364,20 +404,26 @@ def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret,
         assert mask is None, "windowed fused mode takes no shift mask"
         B, nW = qkv.shape[0], qkv.shape[1]
         G = _pick_group(nW)
+        has_bias = bias is not None
         kernel = functools.partial(_fwd_kernel, ws=ws, nheads=nheads, ngx=G,
                                    has_mask=False, pack=1, cosine=cosine,
-                                   windowed=True)
+                                   windowed=True, has_bias=has_bias)
+        in_specs = [
+            pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [scale_row, qkv]
+        if has_bias:
+            in_specs.append(pl.BlockSpec((nheads, L, L),
+                                         lambda b, g: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(bias)
         return pl.pallas_call(
             kernel,
             grid=(B, nW // G),
-            in_specs=[
-                pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, nW, L, C), qkv.dtype),
@@ -387,23 +433,33 @@ def _fwd_pallas(qkv, scale_row, bias, mask, *, ws, nheads, interpret,
                 transcendentals=B * nW * L * L,
             ),
             interpret=interpret,
-        )(scale_row, qkv, bias)
+        )(*args)
     B, Hp, Wp, _ = qkv.shape
     ngy, ngx = Hp // ws, Wp // ws
     pack = _pick_pack(ngx, L)
     Lp = pack * L
     has_mask = mask is not None
+    # the packed bias doubles as the -1e9 cross-window block mask, so the
+    # kernel keeps a (zero) bias input whenever windows share a group even
+    # if the caller passed none (its dbias is discarded in _bwd_pallas)
+    kernel_bias = bias is not None or pack > 1
+    if kernel_bias and bias is None:
+        bias = jnp.zeros((nheads, L, L), jnp.float32)
     kernel = functools.partial(_fwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
-                               has_mask=has_mask, pack=pack, cosine=cosine)
+                               has_mask=has_mask, pack=pack, cosine=cosine,
+                               has_bias=kernel_bias)
     in_specs = [
         pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, Lp, Lp), lambda b, g: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    args = [scale_row, qkv, _pack_bias(bias, pack)]
+    args = [scale_row, qkv]
+    if kernel_bias:
+        in_specs.append(pl.BlockSpec((nheads, Lp, Lp),
+                                     lambda b, g: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(_pack_bias(bias, pack))
     if has_mask:
         in_specs.append(pl.BlockSpec((ngx // pack, Lp, Lp),
                                      lambda b, g: (g, 0, 0),
@@ -437,84 +493,104 @@ def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret,
         assert mask is None, "windowed fused mode takes no shift mask"
         B, nW = qkv.shape[0], qkv.shape[1]
         G = _pick_group(nW)
+        has_bias = bias is not None
         kernel = functools.partial(_bwd_kernel, ws=ws, nheads=nheads, ngx=G,
                                    has_mask=False, pack=1, cosine=cosine,
-                                   windowed=True)
+                                   windowed=True, has_bias=has_bias)
+        in_specs = [
+            pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [scale_row, qkv]
+        if has_bias:
+            in_specs.append(pl.BlockSpec((nheads, L, L),
+                                         lambda b, g: (0, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(bias)
+        in_specs.append(pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dout)
+        out_specs = [pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((B, nW, L, c3), qkv.dtype)]
+        if has_bias:
+            out_specs.append(pl.BlockSpec((nheads, L, L),
+                                          lambda b, g: (0, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nheads, L, L),
+                                                  jnp.float32))
+        if cosine:
+            out_specs.append(pl.BlockSpec((nheads, L), lambda b, g: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nheads, L), jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(B, nW // G),
-            in_specs=[
-                pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, L, C), lambda b, g: (b, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, G, L, c3), lambda b, g: (b, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nheads, L, L), lambda b, g: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nheads, L), lambda b, g: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, nW, L, c3), qkv.dtype),
-                jax.ShapeDtypeStruct((nheads, L, L), jnp.float32),
-                jax.ShapeDtypeStruct((nheads, L), jnp.float32),
-            ),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             cost_estimate=pl.CostEstimate(
                 flops=12 * B * nW * L * nheads * L * (C // nheads),
                 bytes_accessed=qkv.size * qkv.dtype.itemsize * 3,
                 transcendentals=B * nW * L * L,
             ),
             interpret=interpret,
-        )(scale_row, qkv, bias, dout)
+        )(*args)
     B, Hp, Wp, _ = qkv.shape
     ngy, ngx = Hp // ws, Wp // ws
     pack = _pick_pack(ngx, L)
     Lp = pack * L
     has_mask = mask is not None
+    has_bias = bias is not None
+    # see _fwd_pallas: packed groups need the (zero) bias as block mask;
+    # the resulting dbias is discarded below when the caller passed none
+    kernel_bias = has_bias or pack > 1
+    if kernel_bias and bias is None:
+        bias = jnp.zeros((nheads, L, L), jnp.float32)
     kernel = functools.partial(_bwd_kernel, ws=ws, nheads=nheads, ngx=ngx,
-                               has_mask=has_mask, pack=pack, cosine=cosine)
+                               has_mask=has_mask, pack=pack, cosine=cosine,
+                               has_bias=kernel_bias)
     in_specs = [
         pl.BlockSpec((1, nheads), lambda b, g: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, Lp, Lp), lambda b, g: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ws, Wp, C), lambda b, g: (b, g, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    args = [scale_row, qkv, _pack_bias(bias, pack), dout]
+    args = [scale_row, qkv]
+    if kernel_bias:
+        in_specs.append(pl.BlockSpec((nheads, Lp, Lp),
+                                     lambda b, g: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(_pack_bias(bias, pack))
+    in_specs.append(pl.BlockSpec((1, ws, Wp, C), lambda b, g: (b, g, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(dout)
     if has_mask:
         in_specs.append(pl.BlockSpec((ngx // pack, Lp, Lp),
                                      lambda b, g: (g, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(_pack_mask(mask, pack))
-    out_shapes = (
-        jax.ShapeDtypeStruct((B, Hp, Wp, c3), qkv.dtype),       # dqkv
-        jax.ShapeDtypeStruct((nheads, Lp, Lp), jnp.float32),    # dbias (revisited)
-        jax.ShapeDtypeStruct((nheads, Lp), jnp.float32),        # dscale rows
-    )
-    out_specs = (
-        pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, Lp, Lp), lambda b, g: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((nheads, Lp), lambda b, g: (0, 0),
-                     memory_space=pltpu.VMEM),
-    )
-    dqkv, dbias_p, dscale_p = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, ws, Wp, c3), lambda b, g: (b, g, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Hp, Wp, c3), qkv.dtype)]
+    if kernel_bias:
+        out_specs.append(pl.BlockSpec((nheads, Lp, Lp),
+                                      lambda b, g: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((nheads, Lp, Lp),
+                                               jnp.float32))
+    if cosine:
+        out_specs.append(pl.BlockSpec((nheads, Lp), lambda b, g: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((nheads, Lp), jnp.float32))
+    outs = list(pl.pallas_call(
         kernel,
         grid=(B, ngy),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         cost_estimate=pl.CostEstimate(
             # useful flops (see forward): masked cross-window work excluded
             flops=12 * B * Hp * Wp * nheads * L * (C // nheads),
@@ -522,15 +598,24 @@ def _bwd_pallas(qkv, scale_row, bias, mask, dout, *, ws, nheads, interpret,
             transcendentals=B * Hp * Wp * Lp,
         ),
         interpret=interpret,
-    )(*args)
-    if pack > 1:
-        # fold the packed diagonal blocks back: cross blocks carry exactly
-        # zero gradient (their attention weights are softmax(-1e9) = 0)
-        dbias = sum(dbias_p[:, i * L:(i + 1) * L, i * L:(i + 1) * L]
-                    for i in range(pack))
-        dscale_rows = sum(dscale_p[:, i * L:(i + 1) * L] for i in range(pack))
-        return dqkv, dbias, dscale_rows
-    return dqkv, dbias_p, dscale_p
+    )(*args))
+    dqkv = outs.pop(0)
+    dbias_p = outs.pop(0) if kernel_bias else None
+    dscale_p = outs.pop(0) if cosine else None
+    result = [dqkv]
+    if has_bias:
+        if pack > 1:
+            # fold the packed diagonal blocks back: cross blocks carry
+            # exactly zero gradient (attention weights softmax(-1e9) = 0)
+            dbias_p = sum(dbias_p[:, i * L:(i + 1) * L, i * L:(i + 1) * L]
+                          for i in range(pack))
+        result.append(dbias_p)
+    if cosine:
+        if pack > 1:
+            dscale_p = sum(dscale_p[:, i * L:(i + 1) * L]
+                           for i in range(pack))
+        result.append(dscale_p)
+    return tuple(result)
 
 
 def _fwd_pallas_global(kv, qg, scale_row, bias, *, ws, nheads, interpret):
@@ -646,29 +731,40 @@ def _maybe_shard(fn, mesh, n_in_batch_sharded, n_out_batch_sharded,
 
 @functools.lru_cache(maxsize=None)
 def _build(ws: int, nheads: int, has_mask: bool, interpret: bool,
-           cosine: bool = True, windowed: bool = False):
-    """custom_vjp-wrapped fused op for one static (ws, heads, mask?, cosine,
-    layout) config.
+           cosine: bool = True, windowed: bool = False,
+           has_bias: bool = True):
+    """custom_vjp-wrapped fused op for one static (ws, heads, mask?, bias?,
+    cosine, layout) config. dbias exists only when a bias is passed; dscale
+    only in cosine mode (plain-dot callers use a constant head scale).
 
     Forward/backward both consult the active mesh at trace time, so the same
     cached op instance works single-chip and under shard_map'd dp/fsdp.
     """
+    assert has_bias or not has_mask, "shift masks imply the swin bias path"
     fwd_impl = functools.partial(_fwd_pallas, ws=ws, nheads=nheads,
                                  interpret=interpret, cosine=cosine,
                                  windowed=windowed)
     bwd_impl = functools.partial(_bwd_pallas, ws=ws, nheads=nheads,
                                  interpret=interpret, cosine=cosine,
                                  windowed=windowed)
-    nargs = 4 if has_mask else 3
+    nargs = 2 + int(has_bias) + int(has_mask)
+    n_summed = int(has_bias) + int(cosine)  # dbias / dscale psums
 
     def _mesh():
         from torchok_tpu.parallel import get_current_mesh
         return get_current_mesh()
 
+    def _split(rest):
+        bias_ = rest[0] if has_bias else None
+        mask_ = rest[int(has_bias)] if has_mask else None
+        return bias_, mask_
+
     def _run_fwd(qkv, scale_row, bias, mask):
-        def flat(qkv_, scale_, bias_, *m):
-            return fwd_impl(qkv_, scale_, bias_, m[0] if m else None)
-        args = (qkv, scale_row, bias) + ((mask,) if has_mask else ())
+        def flat(qkv_, scale_, *rest):
+            bias_, mask_ = _split(rest)
+            return fwd_impl(qkv_, scale_, bias_, mask_)
+        args = ((qkv, scale_row) + ((bias,) if has_bias else ())
+                + ((mask,) if has_mask else ()))
         wrapped = _maybe_shard(flat, _mesh(),
                                {"n_args": nargs, "sharded": 1}, 1, 0,
                                qkv.shape[0])
@@ -679,15 +775,31 @@ def _build(ws: int, nheads: int, has_mask: bool, interpret: bool,
     def _run_bwd(qkv, scale_row, bias, mask, g):
         # batch-sharded args (qkv, dout) lead so _maybe_shard's prefix rule
         # shards exactly them and replicates the rest
-        def flat(qkv_, dout_, scale_, bias_, *m):
-            return bwd_impl(qkv_, scale_, bias_, m[0] if m else None, dout_)
-        args = (qkv, g, scale_row, bias) + ((mask,) if has_mask else ())
+        def flat(qkv_, dout_, scale_, *rest):
+            bias_, mask_ = _split(rest)
+            outs = bwd_impl(qkv_, scale_, bias_, mask_, dout_)
+            return outs if len(outs) > 1 else outs[0]
+        args = ((qkv, g, scale_row) + ((bias,) if has_bias else ())
+                + ((mask,) if has_mask else ()))
         wrapped = _maybe_shard(flat, _mesh(),
-                               {"n_args": nargs + 1, "sharded": 2}, 1, 2,
-                               qkv.shape[0])
+                               {"n_args": nargs + 1, "sharded": 2}, 1,
+                               n_summed, qkv.shape[0])
         if wrapped is None:
             raise _ShardFallback()
-        return wrapped(*args)
+        outs = wrapped(*args)
+        return outs if isinstance(outs, tuple) else (outs,)
+
+    def _grads(res, g):
+        qkv, scale_row, bias, mask = res
+        outs = list(_run_bwd(qkv, scale_row, bias, mask, g))
+        dqkv = outs.pop(0)
+        dbias = outs.pop(0) if has_bias else None
+        if cosine:
+            dscale = jnp.sum(outs.pop(0), axis=-1).reshape(scale_row.shape)
+        else:
+            dscale = jnp.zeros_like(scale_row)
+        grads = (dqkv, dscale) + ((dbias,) if has_bias else ())
+        return grads + ((jnp.zeros_like(mask),) if has_mask else ())
 
     if has_mask:
         @jax.custom_vjp
@@ -698,23 +810,27 @@ def _build(ws: int, nheads: int, has_mask: bool, interpret: bool,
             return op(qkv, scale_row, bias, mask), (qkv, scale_row, bias, mask)
 
         def bwd(res, g):
-            qkv, scale_row, bias, mask = res
-            dqkv, dbias, dscale_rows = _run_bwd(qkv, scale_row, bias, mask, g)
-            dscale = jnp.sum(dscale_rows, axis=-1).reshape(scale_row.shape)
-            return dqkv, dscale, dbias, jnp.zeros_like(mask)
-    else:
+            return _grads(res, g)
+    elif has_bias:
         @jax.custom_vjp
         def op(qkv, scale_row, bias):
             return _run_fwd(qkv, scale_row, bias, None)
 
         def fwd(qkv, scale_row, bias):
-            return op(qkv, scale_row, bias), (qkv, scale_row, bias)
+            return op(qkv, scale_row, bias), (qkv, scale_row, bias, None)
 
         def bwd(res, g):
-            qkv, scale_row, bias = res
-            dqkv, dbias, dscale_rows = _run_bwd(qkv, scale_row, bias, None, g)
-            dscale = jnp.sum(dscale_rows, axis=-1).reshape(scale_row.shape)
-            return dqkv, dscale, dbias
+            return _grads(res, g)
+    else:
+        @jax.custom_vjp
+        def op(qkv, scale_row):
+            return _run_fwd(qkv, scale_row, None, None)
+
+        def fwd(qkv, scale_row):
+            return op(qkv, scale_row), (qkv, scale_row, None, None)
+
+        def bwd(res, g):
+            return _grads(res, g)
 
     op.defvjp(fwd, bwd)
     return op
@@ -856,13 +972,12 @@ def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    L = ws * ws
     scale_row = scale.astype(jnp.float32).reshape(1, -1)
+    op = _build(ws, nheads, False, interpret, cosine=False,
+                windowed=layout == "windowed", has_bias=bias is not None)
     if bias is None:
-        bias = jnp.zeros((nheads, L, L), jnp.float32)
-    return _build(ws, nheads, False, interpret, cosine=False,
-                  windowed=layout == "windowed")(
-        qkv, scale_row, bias.astype(jnp.float32))
+        return op(qkv, scale_row)
+    return op(qkv, scale_row, bias.astype(jnp.float32))
 
 
 def fused_window_attention_global(kv: jnp.ndarray, q_global: jnp.ndarray,
@@ -898,3 +1013,64 @@ def fused_window_attention_global(kv: jnp.ndarray, q_global: jnp.ndarray,
     scale_row = scale.astype(jnp.float32).reshape(1, -1)
     return _build_global(ws, nheads, interpret)(
         kv, q_global, scale_row, bias.astype(jnp.float32))
+
+
+def window_attention_spatial(proj: jnp.ndarray, scale: jnp.ndarray,
+                             bias: Optional[jnp.ndarray],
+                             ws: int, nheads: int,
+                             q_global: Optional[jnp.ndarray] = None,
+                             interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Plain window attention on the (B, Hp, Wp, .) spatial layout with one
+    fused/XLA dispatch policy for every caller (DaViT spatial blocks, GCViT
+    local and global blocks).
+
+    ``proj`` is the fused qkv projection (3C channels) when ``q_global`` is
+    None, else the kv projection (2C) with ``q_global`` the image's (B, L, C)
+    shared queries. Tries the fused Pallas kernels first — the spatial
+    layout when ws is sublane-aligned, the windowed layout otherwise (the
+    partition copy runs in XLA, attention still fuses) — and falls back to
+    the XLA windowed formulation when the batch is symbolic (jax.export) or
+    does not divide an active multi-device mesh.
+    """
+    b, hp, wp, cd = proj.shape
+    c = cd // (2 if q_global is not None else 3)
+    l = ws * ws
+    try:
+        if not isinstance(b, int):
+            raise _ShardFallback()  # symbolic batch: no Pallas grid
+        if q_global is not None:
+            kvw = window_partition(proj, ws).reshape(b, -1, l, 2 * c)
+            ow = fused_window_attention_global(kvw, q_global, scale, bias,
+                                               ws=ws, nheads=nheads,
+                                               interpret=interpret)
+            return window_reverse(ow.reshape(-1, l, c), ws, hp, wp)
+        if ws % 8 == 0:
+            return fused_window_attention(proj, scale, bias, ws=ws,
+                                          nheads=nheads, interpret=interpret)
+        # sublane-misaligned window (ws=7 DaViT / ws=7|14 GCViT)
+        win = window_partition(proj, ws).reshape(b, -1, l, 3 * c)
+        ow = fused_window_attention(win, scale, bias, ws=ws, nheads=nheads,
+                                    layout="windowed", interpret=interpret)
+        return window_reverse(ow.reshape(-1, l, c), ws, hp, wp)
+    except _ShardFallback:
+        pass
+    # XLA windowed formulation (identical math and params)
+    h, d = nheads, c // nheads
+    win = window_partition(proj, ws)
+    if q_global is not None:
+        k = win[..., :c].reshape(-1, l, h, d)
+        v = win[..., c:].reshape(-1, l, h, d)
+        q = jnp.repeat(q_global, win.shape[0] // q_global.shape[0],
+                       axis=0).reshape(-1, l, h, d)
+    else:
+        q = win[..., :c].reshape(-1, l, h, d)
+        k = win[..., c:2 * c].reshape(-1, l, h, d)
+        v = win[..., 2 * c:].reshape(-1, l, h, d)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn * scale.astype(jnp.float32)[None, :, None, None]
+    if bias is not None:
+        attn = attn + bias[None].astype(attn.dtype)
+    attn = jax.nn.softmax(attn, axis=-1).astype(proj.dtype)
+    ow = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, l, c)
+    return window_reverse(ow, ws, hp, wp)

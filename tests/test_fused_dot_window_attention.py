@@ -206,6 +206,100 @@ def test_global_q_grads_match_xla():
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+def test_windowed_mode_shard_map_composition(multi_devices):
+    """Under a live 2-device mesh the windowed dot-product op shard_maps
+    over the batch and psums dbias — values and grads match meshless."""
+    from torchok_tpu.parallel import build_mesh, set_current_mesh
+
+    nw, ws, nheads, c = 4, 7, 3, 24
+    rng = np.random.default_rng(8)
+    l = ws * ws
+    qkv = jnp.asarray(rng.normal(size=(2, nw, l, 3 * c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+
+    def loss(qkv_, bias_):
+        out = fused_window_attention(qkv_, scale, bias_, ws=ws,
+                                     nheads=nheads, interpret=True,
+                                     layout="windowed")
+        return jnp.sum(out ** 2)
+
+    base = fused_window_attention(qkv, scale, bias, ws=ws, nheads=nheads,
+                                  interpret=True, layout="windowed")
+    g_base = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+    set_current_mesh(build_mesh(jax.devices()[:2]))
+    try:
+        got = fused_window_attention(qkv, scale, bias, ws=ws, nheads=nheads,
+                                     interpret=True, layout="windowed")
+        g_got = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+    finally:
+        set_current_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(g_got, g_base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_global_q_shard_map_composition(multi_devices):
+    """Global-q mode under a live mesh: kv/qg/dout batch-sharded, dbias
+    psummed, dqg stays per-image sharded."""
+    from torchok_tpu.parallel import build_mesh, set_current_mesh
+
+    nw, ws, nheads, c = 4, 4, 2, 16
+    rng = np.random.default_rng(9)
+    l = ws * ws
+    kv = jnp.asarray(rng.normal(size=(2, nw, l, 2 * c)), jnp.float32)
+    qg = jnp.asarray(rng.normal(size=(2, l, c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nheads, l, l)), jnp.float32)
+
+    def loss(kv_, qg_, bias_):
+        out = fused_window_attention_global(kv_, qg_, scale, bias_, ws=ws,
+                                            nheads=nheads, interpret=True)
+        return jnp.sum(out ** 2)
+
+    base = fused_window_attention_global(kv, qg, scale, bias, ws=ws,
+                                         nheads=nheads, interpret=True)
+    g_base = jax.grad(loss, argnums=(0, 1, 2))(kv, qg, bias)
+    set_current_mesh(build_mesh(jax.devices()[:2]))
+    try:
+        got = fused_window_attention_global(kv, qg, scale, bias, ws=ws,
+                                            nheads=nheads, interpret=True)
+        g_got = jax.grad(loss, argnums=(0, 1, 2))(kv, qg, bias)
+    finally:
+        set_current_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(g_got, g_base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_spatial_dispatch_falls_back_when_batch_does_not_divide(multi_devices):
+    """window_attention_spatial under a 2-device mesh with batch 3: the
+    fused path cannot shard — the XLA windowed formulation must run and
+    match the meshless result."""
+    from torchok_tpu.ops.swin_attention import window_attention_spatial
+    from torchok_tpu.parallel import build_mesh, set_current_mesh
+
+    rng = np.random.default_rng(15)
+    hp = wp = 8
+    ws, nheads, c = 4, 2, 16
+    qkv = jnp.asarray(rng.normal(size=(3, hp, wp, 3 * c)), jnp.float32)
+    scale = jnp.full((nheads,), (c // nheads) ** -0.5, jnp.float32)
+    base = window_attention_spatial(qkv, scale, None, ws=ws, nheads=nheads,
+                                    interpret=True)
+    set_current_mesh(build_mesh(jax.devices()[:2]))
+    try:
+        got = window_attention_spatial(qkv, scale, None, ws=ws,
+                                       nheads=nheads, interpret=True)
+    finally:
+        set_current_mesh(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_davit_gcvit_fused_forward_matches_xla_path():
     """Whole-backbone check: forcing the fused kernels (interpret on CPU)
     reproduces the windowed XLA formulation with the same params. GCViT

@@ -50,8 +50,12 @@ if not os.environ.get("TORCHOK_SWEEP_FULL") and _TABLE_PATH.exists():
 # rotating live subsample: even in cached mode a few variants re-trace for
 # real. Seeded by the calendar day so the window actually rotates across CI
 # runs (a fixed seed would live-trace the same 8 variants forever) while
-# staying deterministic within a day for flake triage.
-_live = set(random.Random(datetime.date.today().toordinal()).sample(
+# staying deterministic within a day for flake triage. To reproduce a
+# failing day's window later (bisection), pin TORCHOK_SWEEP_LIVE_SEED to
+# the ordinal printed in the failure.
+_live_seed = int(os.environ.get("TORCHOK_SWEEP_LIVE_SEED",
+                                datetime.date.today().toordinal()))
+_live = set(random.Random(_live_seed).sample(
     ALL_BACKBONES, min(_LIVE_SAMPLE, len(ALL_BACKBONES))))
 
 
@@ -96,7 +100,8 @@ def test_backbone_eval_shape(name):
     else:
         shapes = _trace(model, hw)
 
-    assert shapes[0] == (1, hw, hw, 3), (name, shapes[0])
+    assert shapes[0] == (1, hw, hw, 3), \
+        (name, shapes[0], f"live_seed={_live_seed}")
     traced = tuple(s[-1] for s in shapes[1:])
     assert traced == tuple(model.out_encoder_channels), (
         f"{name}: declared out_encoder_channels={model.out_encoder_channels},"

@@ -154,3 +154,20 @@ def test_family_forward_features_pyramid(name, hw):
     want = tuple(c[-1] if isinstance(c, (list, tuple)) else c
                  for c in model.out_encoder_channels)
     assert got == want, (got, want)
+
+
+def test_gcvit_params_are_input_resolution_independent():
+    """Reference gcvit derives window sizes from the CONFIGURED img_size at
+    build time (gcvit.py:82-86), not from the runtime input — a 224-built
+    checkpoint (rel-pos tables sized by ws=(7,7,14,7)) must apply unchanged
+    at 448. Guards a regression where ws came from x.shape."""
+    model = BACKBONES.get("gcvit_xxtiny")()
+    shapes_224 = jax.eval_shape(
+        lambda x: model.init(jax.random.PRNGKey(0), x, False),
+        jnp.zeros((1, 224, 224, 3), jnp.float32))
+    shapes_448 = jax.eval_shape(
+        lambda x: model.init(jax.random.PRNGKey(0), x, False),
+        jnp.zeros((1, 448, 448, 3), jnp.float32))
+    t224 = jax.tree_util.tree_map(lambda s: s.shape, shapes_224)
+    t448 = jax.tree_util.tree_map(lambda s: s.shape, shapes_448)
+    assert t224 == t448

@@ -203,3 +203,18 @@ def test_necks_jit_clean(pyramid):
     jitted = jax.jit(lambda v, xs: neck.apply(v, xs))
     outs = jitted(variables, pyramid)
     assert len(outs) == 5
+
+
+def test_rfp_rejects_backbones_without_feedback_support():
+    """DetectoRS recursion needs rfp_feats injection (resnet-only, like
+    mmdet's RFP): a clear error instead of a TypeError from deep inside a
+    Flax trace."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    feats = [jnp.zeros((1, 16, 16, 8)), jnp.zeros((1, 8, 8, 16)),
+             jnp.zeros((1, 4, 4, 32))]
+    neck = DETECTION_NECKS.get("RFP")(
+        in_channels=(8, 16, 32), out_channels=16, num_outs=3, rfp_steps=2,
+        rfp_backbone_name="vit_tiny_patch16_224")
+    with pytest.raises(ValueError, match="resnet-family"):
+        neck.init(jax.random.PRNGKey(0), [img] + feats)

@@ -193,7 +193,10 @@ def _gcvit_torch_forward(sd, x):
 def test_gcvit_forward_matches_torch_oracle():
     gen = np.random.default_rng(23)
     sd = _gcvit_sd(gen)
+    # img_size is part of the build config (timm gcvit.py:82-86): it sizes
+    # the FeatureBlock reduction depth; the oracle sd is built for IMG
     model = GlobalContextVit(embed_dim=DIM, depths=DEPTHS, num_heads=HEADS,
+                             img_size=IMG,
                              window_size=(WS,) * len(DEPTHS),
                              mlp_ratio=MLP_RATIO, layer_scale=LS)
     x_np = gen.normal(0, 1, (2, 3, IMG, IMG)).astype(np.float32)

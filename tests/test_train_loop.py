@@ -620,3 +620,14 @@ def test_combined_loader_superbatch_key_mismatch_raises():
         CombinedTrainLoader._concat_batches([g1, g2])
     with _pytest.raises(ValueError, match="structurally identical"):
         CombinedTrainLoader._concat_batches([g2, g1])
+
+
+def test_concat_batches_shape_mismatch_gets_curated_error():
+    """Same keys but mismatched array shapes (two TRAIN loaders with
+    different image sizes under steps_per_execution>1) must raise the
+    curated guidance message, not a bare np.concatenate ValueError."""
+    from torchok_tpu.data.loader import CombinedTrainLoader
+    group = [{"image": np.zeros((2, 8, 8, 3), np.float32)},
+             {"image": np.zeros((2, 16, 16, 3), np.float32)}]
+    with pytest.raises(ValueError, match="steps_per_execution: 1"):
+        CombinedTrainLoader._concat_batches(group)

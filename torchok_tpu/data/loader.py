@@ -336,12 +336,20 @@ class CombinedTrainLoader:
             if isinstance(first, list):
                 out[key] = [x for v in vals for x in v]
             elif isinstance(first, np.ndarray):
-                out[key] = np.concatenate(vals, axis=0)
+                try:
+                    out[key] = np.concatenate(vals, axis=0)
+                except ValueError as e:  # mismatched trailing dims
+                    raise ValueError(
+                        "steps_per_execution>1 with multiple TRAIN "
+                        f"dataloaders: cannot concatenate batches for key "
+                        f"{key!r} ({e}); loaders must produce structurally "
+                        "identical batches — set steps_per_execution: 1"
+                    ) from e
             else:  # jax device arrays (post device_fn)
                 import jax.numpy as jnp
                 try:
                     out[key] = jnp.concatenate(vals, axis=0)
-                except TypeError as e:
+                except (TypeError, ValueError) as e:
                     raise ValueError(
                         "steps_per_execution>1 with multiple TRAIN "
                         f"dataloaders: cannot concatenate batches for key "

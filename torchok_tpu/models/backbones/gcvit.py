@@ -229,7 +229,9 @@ class GlobalContextVitBlock(nn.Module):
     def __call__(self, x, q_global, train: bool = False):
         n, hgt, wdt, c = x.shape
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        ws = min(self.window_size, hgt, wdt)
+        # ws stays the BUILD-time constant (param shapes must not depend on
+        # the runtime input); maps smaller than a window are padded up to it
+        ws = self.window_size
         pad_h = (ws - hgt % ws) % ws
         pad_w = (ws - wdt % ws) % ws
         if pad_h or pad_w:
@@ -265,6 +267,10 @@ class GlobalContextVitStage(nn.Module):
     depth: int
     num_heads: int
     window_size: int
+    # configured per-stage feature size (img_size // stem stride // 2^stage)
+    # — a BUILD-time constant like timm's, so FeatureBlock depth and rel-pos
+    # tables never depend on the runtime input resolution
+    feat_size: int
     downsample: bool
     stage_norm: bool
     mlp_ratio: float
@@ -280,8 +286,8 @@ class GlobalContextVitStage(nn.Module):
             x = Downsample2d(keep_dim=False, dtype=self.dtype,
                              name="downsample")(x)
         n, h, w, c = x.shape
-        ws = max(min(self.window_size, h, w), 1)
-        levels = max(int(math.log2(max(min(h, w) // ws, 1))), 0)
+        ws = max(self.window_size, 1)
+        levels = max(int(math.log2(max(self.feat_size // ws, 1))), 0)
         qg = FeatureBlock(levels, dtype=self.dtype, name="global_block")(x)
         # crop/pad to exactly (ws, ws) — exact for pow-2 feature/window ratios
         qg = qg[:, :ws, :ws]
@@ -308,8 +314,14 @@ class GlobalContextVit(BaseBackbone):
     embed_dim: int = 64
     depths: Tuple[int, ...] = (3, 4, 19, 5)
     num_heads: Tuple[int, ...] = (2, 4, 8, 16)
-    # reference surface (gcvit.py:53-55): fixed window_size wins over ratio;
-    # with window_size None the per-stage window is input_size // ratio
+    # reference surface (gcvit.py:53-55,82-86): fixed window_size wins over
+    # ratio; with window_size None the per-stage window is the CONFIGURED
+    # img_size // ratio — a build-time constant, NOT the runtime input size,
+    # so parameter shapes stay input-resolution-independent (a 224-built
+    # checkpoint applies unchanged at 448). Stages still clamp ws to the
+    # actual feature map as a survival divergence for tiny inputs (the
+    # reference would crash there); params differ only in that regime.
+    img_size: int = 224
     window_size: Optional[Tuple[int, ...]] = None
     window_ratio: Tuple[int, ...] = (32, 32, 16, 32)
     mlp_ratio: float = 3.0
@@ -336,7 +348,6 @@ class GlobalContextVit(BaseBackbone):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  return_features: bool = False):
         inp = x
-        img_min = min(x.shape[1], x.shape[2])
         x = Stem(self.embed_dim, dtype=self.dtype, name="stem")(x)
 
         total = sum(self.depths)
@@ -350,9 +361,10 @@ class GlobalContextVit(BaseBackbone):
             if self.window_size is not None:
                 ws = self.window_size[stage]
             else:
-                ws = max(img_min // self.window_ratio[stage], 1)
+                ws = max(self.img_size // self.window_ratio[stage], 1)
             x = GlobalContextVitStage(
                 depth=depth, num_heads=heads, window_size=ws,
+                feat_size=max(self.img_size // 4 // (2 ** stage), 1),
                 downsample=stage != 0, stage_norm=stage == num_stages - 1,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 layer_scale=self.layer_scale,

@@ -705,6 +705,19 @@ class RFP(BaseModel):
             params.setdefault("pretrained", False)
             rfp_backbone = BACKBONES.get(self.rfp_backbone_name)(
                 dtype=self.dtype, name="rfp_backbone", **params)
+            import inspect
+            sig = inspect.signature(rfp_backbone.forward_features)
+            if "rfp_feats" not in sig.parameters:
+                # DetectoRS recursion needs per-stage feedback injection —
+                # only the resnet family implements it (mmdet's RFP has the
+                # same restriction: ResNet with rfp_inplanes)
+                raise ValueError(
+                    f"RFP recursion: backbone "
+                    f"{self.rfp_backbone_name!r} does not support "
+                    "rfp_feats feedback injection; use a resnet-family "
+                    "rfp_backbone_name (reference mmdet RFP is likewise "
+                    "ResNet-only) or drop rfp_backbone_name for "
+                    "pyramid-only refinement")
 
             outs = run_fpn(inputs)
             for step in range(1, self.rfp_steps):

@@ -392,7 +392,15 @@ def convert_state_dict(name: str, state_dict: Dict[str, Any],
                 fit_err = e
         if hit is None:
             if fit_err is not None:
-                logger.warning("convert(%s): %s", name, fit_err)
+                # a mapped source tensor EXISTED but no candidate fit the
+                # target shape — that is a wrong key map or an architecture
+                # mismatch, not an absent weight; silently shipping an
+                # init-valued leaf here would train/eval with garbage
+                raise ValueError(
+                    f"convert({name}): mapped tensor for "
+                    f"{'/'.join(tokens)} has an incompatible shape "
+                    f"({fit_err}); candidates tried: "
+                    f"{[k for k in candidates if k in sd][:4]}")
             report.missing.append("/".join(tokens))
             new_leaves.append(leaf)
             continue

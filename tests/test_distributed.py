@@ -210,3 +210,43 @@ def test_multi_optimizer_fsdp_state_shards(tmp_path, multi_devices):
     trainer.fit(task)
     assert isinstance(trainer.state.opt_state, tuple)
     assert np.isfinite(trainer.callback_metrics["train/loss"])
+
+
+def test_process_sharded_loader_partitions_epoch(monkeypatch):
+    """Multi-host data feeding (reference: Lightning DistributedSampler
+    under num_nodes>1): each rank reads a disjoint 1/world slice of the
+    epoch order, wrap-padded so every rank sees the same step count."""
+    from torchok_tpu.data.loader import DataLoader
+
+    class _Ds:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return {"x": np.float32(i)}
+
+    shards = {}
+    for rank in (0, 1):
+        ld = DataLoader(_Ds(), batch_size=2, shuffle=True, seed=3,
+                        process_shard=True, num_workers=0)
+        monkeypatch.setattr(DataLoader, "_world",
+                            staticmethod(lambda r=rank: (r, 2)))
+        ld.set_epoch(0)
+        shards[rank] = np.concatenate(ld._index_batches())
+        assert len(ld) == 3  # ceil(ceil(11/2)=6 / bs=2)
+    # wrap-padded to 12: both ranks see 6 indices, union covers the dataset
+    assert len(shards[0]) == len(shards[1]) == 6
+    seen = set(shards[0]) | set(shards[1])
+    assert seen == set(range(11))
+    # per-epoch shards are disjoint except the single wrap-pad duplicate
+    overlap = set(shards[0]) & set(shards[1])
+    assert len(overlap) <= 1
+
+
+def test_init_distributed_single_process_noop():
+    """num_nodes=1 with no coordinator env: no jax.distributed bring-up,
+    process_count stays 1."""
+    from torchok_tpu.parallel import init_distributed
+
+    assert init_distributed(1) is False
+    assert jax.process_count() == 1

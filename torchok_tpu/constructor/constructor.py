@@ -178,19 +178,27 @@ class Constructor:
         phase_cfgs = data.get(phase.name) if hasattr(data, "get") else None
         if not phase_cfgs:
             return []
+        # multi-host: TRAIN loaders shard indices per process (Lightning's
+        # DistributedSampler insertion); eval loaders stay unsharded so
+        # every process computes the full-set metric values exactly
+        shard = phase.name == "TRAIN"
         return [
-            self._prepare_dataloader(pc.dataset, pc.dataloader, pc.get("sampler"))
+            self._prepare_dataloader(pc.dataset, pc.dataloader,
+                                     pc.get("sampler"), process_shard=shard)
             for pc in phase_cfgs if pc is not None
         ]
 
     @staticmethod
-    def _prepare_dataloader(dataset_params, dataloader_params, sampler_params) -> DataLoader:
+    def _prepare_dataloader(dataset_params, dataloader_params, sampler_params,
+                            process_shard: bool = False) -> DataLoader:
         dataset = Constructor._create_dataset(dataset_params)
         sampler = None
         if sampler_params:
             sp = _as_dict(sampler_params.get("params") or {})
             sampler = SAMPLERS.get(sampler_params.name)(**sp)
-        return DataLoader(dataset=dataset, sampler=sampler, **_as_dict(dataloader_params))
+        return DataLoader(dataset=dataset, sampler=sampler,
+                          process_shard=process_shard,
+                          **_as_dict(dataloader_params))
 
     @staticmethod
     def _create_dataset(dataset_params):

@@ -26,7 +26,8 @@ from collections import deque
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import (Any, Callable, Dict, Iterator, List, Optional, Sequence,
+                    Tuple)
 
 import numpy as np
 
@@ -57,7 +58,7 @@ class DataLoader:
                  drop_last: bool = False, num_workers: Optional[int] = None,
                  sampler=None, collate_fn: Optional[Callable] = None,
                  prefetch_factor: int = 2, device_prefetch: int = 2,
-                 seed: int = 0, **_ignored):
+                 seed: int = 0, process_shard: bool = False, **_ignored):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -73,13 +74,32 @@ class DataLoader:
         # jitter behind compute; on PCIe hosts 1-2 suffices.
         self.device_prefetch = max(1, device_prefetch)
         self.seed = seed
+        # multi-host training: this process reads only its 1/world slice of
+        # each epoch's index order (torch DistributedSampler semantics:
+        # wrap-pad to a multiple of world, then stride by rank). batch_size
+        # stays PER-PROCESS; the engine assembles the global batch with
+        # jax.make_array_from_process_local_data.
+        self.process_shard = process_shard
         self.epoch = 0
         # engine-installed: converts a numpy host batch into a sharded device
         # batch with the on-device transform suffix applied
         self.device_fn: Optional[Callable[[Dict[str, Any], int], Any]] = None
 
+    @staticmethod
+    def _world() -> Tuple[int, int]:
+        """(rank, world) of the jax runtime; (0, 1) single-process."""
+        import jax
+        try:
+            return jax.process_index(), jax.process_count()
+        except Exception:  # jax not initialized yet (pure host-side tests)
+            return 0, 1
+
     def __len__(self) -> int:
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.process_shard:
+            rank, world = self._world()
+            if world > 1:
+                n = (n + world - 1) // world  # wrap-padded shard length
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -100,6 +120,13 @@ class DataLoader:
             if self.shuffle:
                 rng = np.random.default_rng(self.seed * 7_368_787 + self.epoch)
                 rng.shuffle(order)
+        if self.process_shard:
+            rank, world = self._world()
+            if world > 1:
+                pad = (-len(order)) % world
+                if pad:  # wrap-pad so every rank sees the same step count
+                    order = np.concatenate([order, order[:pad]])
+                order = order[rank::world]
         n_full = len(order) // self.batch_size
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_full)]

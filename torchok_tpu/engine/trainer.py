@@ -86,6 +86,10 @@ class Trainer:
             self.limit_train_batches = n
             self.limit_val_batches = n
 
+        # multi-host bring-up BEFORE device discovery: after this,
+        # jax.devices() is the global list and the mesh spans all hosts
+        from torchok_tpu.parallel import init_distributed
+        init_distributed(int(tp.get("num_nodes") or 1))
         self.mesh = mesh or self._build_mesh(tp)
 
         # populated during fit
@@ -146,6 +150,22 @@ class Trainer:
     def _shard_batch(self, host_batch: Dict[str, Any]):
         arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
         bs = next(iter(arrays.values())).shape[0] if arrays else 0
+        if jax.process_count() > 1:
+            # multi-host: each process holds its own per-process slice of
+            # the global batch (loader process_shard); assemble the global
+            # array across hosts without gathering data onto one host
+            local_devices = self.mesh.local_devices
+            if bs % len(local_devices) != 0:
+                raise ValueError(
+                    f"multi-host training needs the per-process batch "
+                    f"({bs}) divisible by the {len(local_devices)} local "
+                    "devices (ragged tails cannot replicate across hosts); "
+                    "set drop_last: true on the TRAIN dataloader")
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self.data_sharding, v)
+                for k, v in arrays.items()
+            }
         sharding = self.data_sharding if bs % self.num_devices == 0 else self.replicated
         return jax.device_put(arrays, sharding)
 

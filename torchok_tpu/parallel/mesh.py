@@ -42,6 +42,41 @@ def get_current_mesh() -> Optional[Mesh]:
     return _CURRENT_MESH
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(num_nodes: int = 1) -> bool:
+    """Multi-host runtime bring-up — the reference's ``trainer.num_nodes``
+    surface (Lightning multi-node DDP; config_structure.py:137-140).
+
+    With ``num_nodes > 1`` (or coordinator env vars already set) this calls
+    ``jax.distributed.initialize``: argless on TPU pods, where process
+    topology comes from the platform metadata, or from the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    elsewhere. After it, ``jax.devices()`` is the GLOBAL device list, so
+    the engine's mesh spans all hosts and the compiled step's collectives
+    ride ICI/DCN; per-process data feeding is handled by the loader's
+    ``process_shard`` and the trainer's
+    ``jax.make_array_from_process_local_data`` placement.
+
+    Idempotent. Returns True when a multi-process runtime is active.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    import os
+    want = num_nodes > 1 or "JAX_COORDINATOR_ADDRESS" in os.environ
+    if want and not _DISTRIBUTED_INITIALIZED:
+        kwargs = {}
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if addr:
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", num_nodes)),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", 0)))
+        jax.distributed.initialize(**kwargs)
+        _DISTRIBUTED_INITIALIZED = True
+    return jax.process_count() > 1
+
+
 def build_mesh(devices: Optional[Sequence] = None,
                axis_names: Sequence[str] = ("data",),
                model_parallel: int = 1) -> Mesh:

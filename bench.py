@@ -31,6 +31,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# A dead TPU tunnel makes backend init (the first jax.devices()) hang
+# indefinitely; fail fast with a parseable JSON line instead of wedging the
+# driver. The event is set as soon as the backend answers.
+import threading
+
+_backend_up = threading.Event()
+
+
+def _backend_watchdog(limit_s: float = 300.0) -> None:
+    if not _backend_up.wait(limit_s):
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip", "value": 0,
+            "unit": "images/sec/chip", "vs_baseline": 0,
+            "error": f"jax backend init exceeded {limit_s:.0f}s "
+                     "(TPU tunnel down?)"}), flush=True)
+        os._exit(17)
+
+
+threading.Thread(target=_backend_watchdog, daemon=True).start()
+jax.devices()
+_backend_up.set()
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 

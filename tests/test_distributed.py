@@ -250,3 +250,28 @@ def test_init_distributed_single_process_noop():
 
     assert init_distributed(1) is False
     assert jax.process_count() == 1
+
+
+def test_multihost_eval_batch_replicates_not_shards(tmp_path, multi_devices,
+                                                    monkeypatch):
+    """With process_count>1, eval batches (every process holds the FULL
+    batch — eval loaders are not process-sharded) must assemble as a
+    replicated global array; sharding them as per-process slices would
+    duplicate every sample world× and corrupt retrieval-meter galleries."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    config = make_config(tmp_path, max_epochs=1)
+    _, trainer = build(config)
+    trainer.mesh = Mesh(np.array(multi_devices[:2]), ("data",))
+    trainer.data_sharding = NamedSharding(trainer.mesh, P("data"))
+    trainer.replicated = NamedSharding(trainer.mesh, P())
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    batch = {"image": np.zeros((4, 8, 8, 3), np.float32),
+             "target": np.arange(4)}
+    out_eval = trainer._shard_batch(batch, train=False)
+    assert out_eval["image"].sharding.is_fully_replicated
+    assert out_eval["image"].shape == (4, 8, 8, 3)
+
+    out_train = trainer._shard_batch(batch, train=True)
+    assert not out_train["image"].sharding.is_fully_replicated

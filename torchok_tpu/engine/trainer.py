@@ -147,10 +147,21 @@ class Trainer:
             return max(1, int(n_batches * limit))
         return min(n_batches, int(limit))
 
-    def _shard_batch(self, host_batch: Dict[str, Any]):
+    def _shard_batch(self, host_batch: Dict[str, Any], train: bool = True):
         arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
         bs = next(iter(arrays.values())).shape[0] if arrays else 0
         if jax.process_count() > 1:
+            if not train:
+                # eval loaders are NOT process-sharded (every process reads
+                # the full set so full-set meters are exact); each host holds
+                # an identical full batch, so the global array is replicated
+                # — assembling it under data_sharding would duplicate every
+                # sample world× (fatal for retrieval-meter galleries)
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        self.replicated, v)
+                    for k, v in arrays.items()
+                }
             # multi-host: each process holds its own per-process slice of
             # the global batch (loader process_shard); assemble the global
             # array across hosts without gathering data onto one host
@@ -203,7 +214,7 @@ class Trainer:
             return batch
 
         def device_fn(host_batch, step):
-            batch = self._shard_batch(host_batch)
+            batch = self._shard_batch(host_batch, train=train)
             key = jax.random.fold_in(base_key, step)
             return _process(batch, key)
 

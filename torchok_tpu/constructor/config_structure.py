@@ -148,7 +148,17 @@ class TrainerParams:
     the TPU engine: ``accelerator``/``devices`` select the JAX platform and
     mesh size, ``strategy`` selects the sharding recipe (``auto``/``dp``/
     ``fsdp``), ``precision`` selects the compute dtype policy (16 and bf16
-    both mean bfloat16 compute on TPU)."""
+    both mean bfloat16 compute on TPU).
+
+    Accepted-but-inert on TPU (torch-specific switches whose effect is the
+    XLA default): ``deterministic`` — jitted TPU programs are already
+    run-to-run deterministic; ``benchmark`` — XLA autotunes every
+    compilation, there is no cudnn.benchmark analog; ``inference_mode`` —
+    eval steps never build a grad graph under jax.jit, so there is nothing
+    cheaper to switch to; ``sync_batchnorm`` — GSPMD batch sharding computes
+    BatchNorm statistics over the GLOBAL batch by construction (a sharded
+    mean is a global mean), i.e. behavior is always the synced one and
+    exactly matches the single-device trajectory."""
     accelerator: str = "auto"
     strategy: str = "auto"
     devices: Any = "auto"

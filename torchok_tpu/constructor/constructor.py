@@ -179,9 +179,16 @@ class Constructor:
         if not phase_cfgs:
             return []
         # multi-host: TRAIN loaders shard indices per process (Lightning's
-        # DistributedSampler insertion); eval loaders stay unsharded so
-        # every process computes the full-set metric values exactly
-        shard = phase.name == "TRAIN"
+        # DistributedSampler insertion, gated by the same
+        # trainer.use_distributed_sampler flag — config_structure.py:181);
+        # eval loaders stay unsharded so every process computes the
+        # full-set metric values exactly
+        trainer_cfg = self._hparams.get("trainer")
+        use_dist = True
+        if trainer_cfg is not None:
+            use_dist = trainer_cfg.get("use_distributed_sampler")
+            use_dist = True if use_dist is None else bool(use_dist)
+        shard = phase.name == "TRAIN" and use_dist
         return [
             self._prepare_dataloader(pc.dataset, pc.dataloader,
                                      pc.get("sampler"), process_shard=shard)

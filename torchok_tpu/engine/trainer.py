@@ -41,6 +41,33 @@ from torchok_tpu.parallel.mesh import build_mesh, fsdp_sharding, tp_sharding
 logger = logging.getLogger(__name__)
 
 
+def _parse_max_time(value) -> Optional[float]:
+    """trainer.max_time → seconds (Lightning surface: 'DD:HH:MM:SS' string,
+    {'days':..,'hours':..,'minutes':..,'seconds':..} dict, timedelta, or a
+    bare number of seconds)."""
+    if value is None:
+        return None
+    import datetime
+    if isinstance(value, datetime.timedelta):
+        return value.total_seconds()
+    if isinstance(value, (int, float)):
+        return float(value)
+    if isinstance(value, str):
+        parts = value.split(":")
+        if len(parts) != 4:
+            raise ValueError(
+                f"trainer.max_time string must be 'DD:HH:MM:SS', got {value!r}")
+        d, h, m, s = (int(p) for p in parts)
+        return float(((d * 24 + h) * 60 + m) * 60 + s)
+    if hasattr(value, "get"):  # dict / ConfigNode
+        get = value.get
+        return float(datetime.timedelta(
+            days=get("days") or 0, hours=get("hours") or 0,
+            minutes=get("minutes") or 0,
+            seconds=get("seconds") or 0).total_seconds())
+    raise ValueError(f"Unsupported trainer.max_time value: {value!r}")
+
+
 def _tree_ones_like(tree):
     return jax.tree_util.tree_map(lambda x: jnp.ones((), jnp.float32), tree)
 
@@ -63,10 +90,21 @@ class Trainer:
         self.limit_test_batches = tp.get("limit_test_batches")
         self.limit_predict_batches = tp.get("limit_predict_batches")
         self.check_val_every_n_epoch = tp.get("check_val_every_n_epoch") or 1
+        self.val_check_interval = tp.get("val_check_interval")
         self.log_every_n_steps = tp.get("log_every_n_steps") or 50
         self.accumulate_grad_batches = tp.get("accumulate_grad_batches") or 1
         self.steps_per_execution = max(1, tp.get("steps_per_execution") or 1)
         self.gradient_clip_val = tp.get("gradient_clip_val")
+        self.gradient_clip_algorithm = tp.get("gradient_clip_algorithm") or "norm"
+        if self.gradient_clip_algorithm not in ("norm", "value"):
+            raise ValueError(
+                "trainer.gradient_clip_algorithm must be 'norm' or 'value', "
+                f"got {self.gradient_clip_algorithm!r}")
+        self.min_steps = tp.get("min_steps") or 0
+        self.max_time_s = _parse_max_time(tp.get("max_time"))
+        self.overfit_batches = tp.get("overfit_batches") or 0
+        self.reload_dataloaders_every_n_epochs = \
+            tp.get("reload_dataloaders_every_n_epochs") or 0
         self.fast_dev_run = tp.get("fast_dev_run", False)
         _sanity = tp.get("num_sanity_val_steps")
         # Lightning default: 2 sanity batches before training (explicit 0 disables)
@@ -230,7 +268,12 @@ class Trainer:
     def _build_tx(self, bundle) -> optax.GradientTransformation:
         tx = bundle.tx
         if self.gradient_clip_val:
-            tx = optax.chain(optax.clip_by_global_norm(self.gradient_clip_val), tx)
+            # trainer.gradient_clip_algorithm: 'norm' = Lightning's default
+            # global-norm clip; 'value' = elementwise clamp to +-clip_val
+            clip = (optax.clip_by_global_norm(self.gradient_clip_val)
+                    if self.gradient_clip_algorithm == "norm"
+                    else optax.clip(self.gradient_clip_val))
+            tx = optax.chain(clip, tx)
         if self.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
         return tx
@@ -475,52 +518,82 @@ class Trainer:
             raise ValueError("No TRAIN data configured")
         val_loaders = task.val_dataloader()
 
+        if self.overfit_batches:
+            # trainer.overfit_batches (Lightning parity): train on a fixed
+            # first-N-batches subset (shuffle off) and validate on those SAME
+            # batches — fresh loader objects over the train data carry the
+            # deterministic eval device pipeline
+            ob = self.overfit_batches
+            n_batches = (max(1, int(len(train_loaders[0]) * ob))
+                         if isinstance(ob, float) and ob <= 1.0 else int(ob))
+            self.limit_train_batches = n_batches
+            self.limit_val_batches = n_batches
+            val_loaders = task.train_dataloader()
+            for ld in (*train_loaders, *val_loaders):
+                ld.shuffle = False
+
         self._setup_state(task, ckpt_path)
-        self._install_device_fns(train_loaders, train=True)
         self._install_device_fns(val_loaders, train=False)
 
         spe = self.steps_per_execution
-        combined = None
-        if len(train_loaders) > 1:
-            from torchok_tpu.data.loader import CombinedTrainLoader
-            if spe > 1 and len({ld.batch_size for ld in train_loaders}) > 1:
-                logger.warning(
-                    "steps_per_execution>1 with multiple TRAIN dataloaders of "
-                    "differing batch sizes is unsupported; falling back to "
-                    "one step per execution")
-                spe = 1
-            train_loader = combined = CombinedTrainLoader(
-                train_loaders, mode=self.multiple_trainloader_mode)
-        else:
-            train_loader = train_loaders[0]
+        if spe > 1 and len(train_loaders) > 1 and \
+                len({ld.batch_size for ld in train_loaders}) > 1:
+            logger.warning(
+                "steps_per_execution>1 with multiple TRAIN dataloaders of "
+                "differing batch sizes is unsupported; falling back to "
+                "one step per execution")
+            spe = 1
+
+        # loader prep is a closure so reload_dataloaders_every_n_epochs can
+        # rebuild a fresh, identically-wrapped loader mid-fit
+        holder: Dict[str, Any] = {}
+
+        def _prepare(loaders):
+            self._install_device_fns(loaders, train=True)
+            combined = None
+            if len(loaders) > 1:
+                from torchok_tpu.data.loader import CombinedTrainLoader
+                tl = combined = CombinedTrainLoader(
+                    loaders, mode=self.multiple_trainloader_mode)
+            else:
+                tl = loaders[0]
+            holder["micro"] = tl.batch_size
+            if spe > 1:
+                if combined is not None:
+                    # K consecutive interleaved batches concatenate into one
+                    # super-batch; the fused scan replays them in the exact
+                    # round-robin order of the unfused loop
+                    combined.superbatch_k = spe
+                else:
+                    # loader serves K*B super-batches: one host fetch + one
+                    # transfer + one device-transform run per execution
+                    tl.batch_size = holder["micro"] * spe
+            holder["loader"], holder["combined"] = tl, combined
+            return tl
+
+        train_loader = _prepare(train_loaders)
+        micro_batch = holder["micro"]
+
+        def _reload():
+            return _prepare(task.train_dataloader())
 
         train_step = self._make_train_step(task, self.txs)
-        micro_batch = train_loader.batch_size
         multi_step = None
         if spe > 1:
             multi_step = self._make_multi_train_step(train_step, micro_batch)
-            if combined is not None:
-                # K consecutive interleaved batches concatenate into one
-                # super-batch; the fused scan replays them in the exact
-                # round-robin order of the unfused loop
-                combined.superbatch_k = spe
-            else:
-                # loader serves K*B super-batches: one host fetch + one
-                # transfer + one device-transform run per execution
-                train_loader.batch_size = micro_batch * spe
         try:
             self._fit_loop(task, train_loader, val_loaders, train_step,
-                           multi_step, spe, micro_batch)
+                           multi_step, spe, micro_batch, reload_fn=_reload)
         finally:
             # restore: repeated fit() calls must not compound the scaling
             if spe > 1:
-                if combined is not None:
-                    combined.superbatch_k = 1
+                if holder["combined"] is not None:
+                    holder["combined"].superbatch_k = 1
                 else:
-                    train_loader.batch_size = micro_batch
+                    holder["loader"].batch_size = holder["micro"]
 
     def _fit_loop(self, task, train_loader, val_loaders, train_step,
-                  multi_step, spe, micro_batch) -> None:
+                  multi_step, spe, micro_batch, reload_fn=None) -> None:
         eval_step = self._make_eval_step(task, task.compute_loss_on_valid)
 
         for cb in self.callbacks:
@@ -530,14 +603,22 @@ class Trainer:
         if self.logger is not None:
             self.logger.log_hyperparams(task.hparams)
 
-        if multi_step is not None:
-            # limits are defined in optimizer steps; loader yields spe per item
-            n_train = len(train_loader)
-            if self.limit_train_batches is not None:
-                limit_steps = self._limit(n_train * spe, self.limit_train_batches)
-                n_train = min(n_train, max(1, (limit_steps + spe - 1) // spe))
-        else:
-            n_train = self._limit(len(train_loader), self.limit_train_batches)
+        def _n_train() -> int:
+            if multi_step is not None:
+                # limits are in optimizer steps; loader yields spe per item
+                n = len(train_loader)
+                if self.limit_train_batches is not None:
+                    limit_steps = self._limit(n * spe, self.limit_train_batches)
+                    n = min(n, max(1, (limit_steps + spe - 1) // spe))
+                return n
+            return self._limit(len(train_loader), self.limit_train_batches)
+
+        n_train = _n_train()
+        # trainer.max_time: hard wall-clock stop, checked between steps
+        deadline = (time.monotonic() + self.max_time_s
+                    if self.max_time_s else None)
+        hard_stop = False  # max_steps / max_time override min_epochs|steps
+        start_epoch = self.current_epoch
 
         # sanity validation (Lightning parity): run a few val batches before
         # training starts so metric/loss plumbing fails fast
@@ -548,6 +629,22 @@ class Trainer:
 
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
+            reload_n = self.reload_dataloaders_every_n_epochs
+            if (reload_fn is not None and reload_n > 0 and epoch > start_epoch
+                    and (epoch - start_epoch) % reload_n == 0):
+                # trainer.reload_dataloaders_every_n_epochs: re-invoke the
+                # task's train_dataloader hook (fresh dataset objects)
+                train_loader = reload_fn()
+                n_train = _n_train()
+            # trainer.val_check_interval: validation every N optimizer steps
+            # (int) or N-per-epoch (fraction); the epoch's final boundary is
+            # left to the regular end-of-epoch validation below
+            val_interval = None
+            if self.val_check_interval is not None and val_loaders:
+                v = self.val_check_interval
+                val_interval = (max(1, int(n_train * spe * v))
+                                if isinstance(v, float) and v <= 1.0
+                                else max(1, int(v)))
             epoch_logs: Dict[str, float] = {}
             for cb in self.callbacks:
                 cb.on_train_epoch_start(self, task)
@@ -634,8 +731,22 @@ class Trainer:
                             step=self.global_step)
                     for cb in self.callbacks:
                         cb.on_train_batch_end(self, task, self.global_step, host_losses)
+                if (val_interval is not None and bidx < n_train - 1
+                        and self.global_step // val_interval
+                        > prev_step // val_interval):
+                    val_logs = self._run_eval(task, eval_step, val_loaders,
+                                              Phase.VALID)
+                    self.callback_metrics.update(val_logs)
+                    if self.logger is not None:
+                        self.logger.log_metrics(val_logs, step=self.global_step)
+                    for cb in self.callbacks:
+                        cb.on_validation_epoch_end(self, task, val_logs)
                 if 0 < self.max_steps <= self.global_step:
-                    self.should_stop = True
+                    self.should_stop = hard_stop = True
+                    break
+                if deadline is not None and time.monotonic() >= deadline:
+                    logger.info("trainer.max_time reached — stopping")
+                    self.should_stop = hard_stop = True
                     break
             loss_sums = {k: float(v) for k, v in loss_sums.items()}
             epoch_time = time.perf_counter() - t0
@@ -681,8 +792,13 @@ class Trainer:
             for cb in self.callbacks:
                 cb.on_epoch_end(self, task, epoch_logs)
 
+            if hard_stop:  # max_steps / max_time win over min_epochs|steps
+                break
             if self.should_stop or any(cb.should_stop(self) for cb in self.callbacks):
-                if epoch + 1 >= self.min_epochs:
+                # early stops wait out both floors (Lightning min_epochs AND
+                # min_steps semantics)
+                if epoch + 1 >= self.min_epochs and \
+                        self.global_step >= self.min_steps:
                     break
 
         for cb in self.callbacks:

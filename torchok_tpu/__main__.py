@@ -63,6 +63,20 @@ def entrypoint(argv=None) -> None:
     raw = load_config(args.config_path, args.config_name, overrides)
     config = merge_structured(raw)
 
+    # trainer.accelerator (reference surface: pl.Trainer accelerator=) picks
+    # the JAX platform. This must happen before the first backend touch —
+    # and must be config-driven: on tunneled-TPU rigs the JAX_PLATFORMS env
+    # var is overridden by the TPU plugin, so `trainer.accelerator=cpu` is
+    # the reliable way to run the CLI without claiming the TPU chip.
+    accel = (config.get("trainer") or {}).get("accelerator")
+    if accel and accel not in ("auto", "gpu"):
+        platform = {"cuda": "gpu"}.get(accel, accel)
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:  # noqa: BLE001 — backend already initialized
+            logger.warning("trainer.accelerator=%s requested after jax "
+                           "backend init; ignored", accel)
+
     seed_params = config.get("seed_params")
     if seed_params and seed_params.get("seed") is not None:
         seed_everything(int(seed_params.seed))

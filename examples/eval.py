@@ -40,7 +40,10 @@ def main():
             if phases and "VALID" in phases and "TEST" not in phases:
                 m["phases"] = list(phases) + ["TEST"]
 
-    task = TASKS.get(config.task.name)(config, **config.task.params.to_dict())
+    task_params = config.task.get("params") or {}
+    if hasattr(task_params, "to_dict"):
+        task_params = task_params.to_dict()
+    task = TASKS.get(config.task.name)(config, **task_params)
     trainer = create_trainer(config)
 
     # retrieval recipes run the on-TPU index + recall/precision meters here

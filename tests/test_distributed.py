@@ -275,3 +275,28 @@ def test_multihost_eval_batch_replicates_not_shards(tmp_path, multi_devices,
 
     out_train = trainer._shard_batch(batch, train=True)
     assert not out_train["image"].sharding.is_fully_replicated
+
+
+def test_multihost_superbatch_interleaves_steps(tmp_path, monkeypatch):
+    """steps_per_execution under multi-host: the assembled global
+    super-batch is process-major, so each fused step must take every
+    process's i-th local micro batch — NOT contiguous global rows (which
+    would give each optimizer step one host's data and spe*world steps)."""
+    config = make_config(tmp_path)
+    _, trainer = build(config)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    seen = []
+
+    def fake_step(state, batch):
+        return state, {"x": batch["x"]}, {"loss": jnp.mean(batch["x"])}
+
+    multi_step = trainer._make_multi_train_step(fake_step, micro_batch=2)
+    # world=2, k=2, B_local=2: process-major global rows
+    # [h0s0a, h0s0b, h0s1a, h0s1b, h1s0a, h1s0b, h1s1a, h1s1b]
+    rows = np.array([0, 1, 2, 3, 100, 101, 102, 103], np.float32)
+    _, outputs, losses = multi_step(trainer.state, {"x": rows}, 2)
+    # step 0 = both hosts' micro 0; step 1 = both hosts' micro 1
+    np.testing.assert_array_equal(
+        np.asarray(outputs["x"]),
+        np.array([0, 1, 100, 101, 2, 3, 102, 103], np.float32))

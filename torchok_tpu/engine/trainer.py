@@ -163,13 +163,15 @@ class Trainer:
     def _build_mesh(tp) -> Mesh:
         devices = jax.devices()
         want = tp.get("devices", "auto")
-        if isinstance(want, int) and want > 0:
-            devices = devices[:want]
-        elif isinstance(want, str) and want not in ("auto", "-1"):
+        if isinstance(want, str) and want not in ("auto", "-1"):
             try:
-                devices = devices[:int(want)]
+                want = int(want)
             except ValueError:
-                pass
+                want = None
+        if isinstance(want, int) and want > 0:
+            # Lightning surface: `devices` is the PER-NODE accelerator count;
+            # jax.devices() is the global list after multi-host bring-up
+            devices = devices[:want * jax.process_count()]
         mp = tp.get("model_parallel_size") or 1
         return build_mesh(devices, model_parallel=mp)
 
@@ -389,11 +391,23 @@ class Trainer:
         """Fuse K train steps into one jitted lax.scan over a super-batch of
         K*B samples — one host dispatch, one transfer, one device-transform
         run per K optimizer steps (steps_per_execution)."""
+        world = jax.process_count()
 
         @partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
         def multi_step(state, super_batch, k):
-            stacked = jax.tree_util.tree_map(
-                lambda x: x.reshape((k, micro_batch) + x.shape[1:]), super_batch)
+            def to_steps(x):
+                if world > 1:
+                    # the assembled global super-batch is PROCESS-major
+                    # ((world, K*B_local) rows): each fused step must take
+                    # every process's i-th local micro batch, so relabel to
+                    # (K, world*B_local). The transpose follows shard
+                    # boundaries — no cross-host data movement.
+                    x = x.reshape((world, k, micro_batch) + x.shape[1:])
+                    x = jnp.swapaxes(x, 0, 1)
+                    return x.reshape((k, world * micro_batch) + x.shape[3:])
+                return x.reshape((k, micro_batch) + x.shape[1:])
+
+            stacked = jax.tree_util.tree_map(to_steps, super_batch)
 
             def body(s, b):
                 s2, outputs, losses = train_step(s, b)
@@ -531,6 +545,10 @@ class Trainer:
             val_loaders = task.train_dataloader()
             for ld in (*train_loaders, *val_loaders):
                 ld.shuffle = False
+            for ld in val_loaders:
+                # eval batches must be identical on every host (they assemble
+                # replicated); drop the TRAIN-phase per-process index shard
+                ld.process_shard = False
 
         self._setup_state(task, ckpt_path)
         self._install_device_fns(val_loaders, train=False)
@@ -671,8 +689,17 @@ class Trainer:
                     break
                 if multi_step is not None:
                     size = jax.tree_util.tree_leaves(batch)[0].shape[0]
-                    k = size // micro_batch
-                    rem = size % micro_batch
+                    # the device batch is GLOBAL; step counts derive from the
+                    # per-process share (process-major row layout multi-host)
+                    world = jax.process_count()
+                    local = size // world
+                    k = local // micro_batch
+                    rem = local % micro_batch
+
+                    def _rows(x, lo, hi):
+                        xw = x.reshape((world, local) + x.shape[1:])[:, lo:hi]
+                        return xw.reshape((world * (hi - lo),) + x.shape[1:])
+
                     if k >= 1 and rem == 0:
                         self.state, outputs, losses = multi_step(self.state, batch, k)
                         executed = k
@@ -681,9 +708,9 @@ class Trainer:
                         # micro batches fused, then the remainder as one step
                         # (matches the non-fused run's step count/trajectory)
                         full = jax.tree_util.tree_map(
-                            lambda x: x[:k * micro_batch], batch)
+                            lambda x: _rows(x, 0, k * micro_batch), batch)
                         tail = jax.tree_util.tree_map(
-                            lambda x: x[k * micro_batch:], batch)
+                            lambda x: _rows(x, k * micro_batch, local), batch)
                         self.state, full_outputs, losses = multi_step(self.state, full, k)
                         # the fused part's outputs feed metrics here; the tail's
                         # flow through the shared update below
@@ -732,8 +759,11 @@ class Trainer:
                     for cb in self.callbacks:
                         cb.on_train_batch_end(self, task, self.global_step, host_losses)
                 if (val_interval is not None and bidx < n_train - 1
-                        and self.global_step // val_interval
-                        > prev_step // val_interval):
+                        # anchored to the EPOCH-relative step position so the
+                        # cadence does not drift when steps-per-epoch is not
+                        # a multiple of the interval (Lightning semantics)
+                        and n_steps // val_interval
+                        > (n_steps - executed) // val_interval):
                     val_logs = self._run_eval(task, eval_step, val_loaders,
                                               Phase.VALID)
                     self.callback_metrics.update(val_logs)
@@ -760,7 +790,8 @@ class Trainer:
             train_logs.update(task.metrics_manager.on_epoch_end(Phase.TRAIN))
             train_logs["train/epoch_time_s"] = epoch_time
             if n_steps:
-                train_logs["train/images_per_sec"] = n_steps * micro_batch / epoch_time
+                train_logs["train/images_per_sec"] = (
+                    n_steps * micro_batch * jax.process_count() / epoch_time)
             epoch_logs.update(train_logs)
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self, task, train_logs)

@@ -318,9 +318,10 @@ class GlobalContextVit(BaseBackbone):
     # ratio; with window_size None the per-stage window is the CONFIGURED
     # img_size // ratio — a build-time constant, NOT the runtime input size,
     # so parameter shapes stay input-resolution-independent (a 224-built
-    # checkpoint applies unchanged at 448). Stages still clamp ws to the
-    # actual feature map as a survival divergence for tiny inputs (the
-    # reference would crash there); params differ only in that regime.
+    # checkpoint applies unchanged at 448). Feature maps smaller than a
+    # window are PADDED up to one full window inside the block (a survival
+    # divergence for tiny inputs — the reference would crash there); param
+    # shapes stay the build-time ones in every regime.
     img_size: int = 224
     window_size: Optional[Tuple[int, ...]] = None
     window_ratio: Tuple[int, ...] = (32, 32, 16, 32)

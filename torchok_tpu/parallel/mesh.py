@@ -68,10 +68,18 @@ def init_distributed(num_nodes: int = 1) -> bool:
         kwargs = {}
         addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
         if addr:
+            pid = os.environ.get("JAX_PROCESS_ID")
+            if pid is None:
+                # defaulting would make EVERY host claim process 0 and
+                # deadlock coordination — fail loudly instead
+                raise ValueError(
+                    "JAX_COORDINATOR_ADDRESS is set but JAX_PROCESS_ID is "
+                    "not; export a distinct JAX_PROCESS_ID (0..N-1) per "
+                    "host, plus JAX_NUM_PROCESSES")
             kwargs = dict(
                 coordinator_address=addr,
                 num_processes=int(os.environ.get("JAX_NUM_PROCESSES", num_nodes)),
-                process_id=int(os.environ.get("JAX_PROCESS_ID", 0)))
+                process_id=int(pid))
         jax.distributed.initialize(**kwargs)
         _DISTRIBUTED_INITIALIZED = True
     return jax.process_count() > 1

@@ -196,3 +196,27 @@ def test_reload_dataloaders_every_n_epochs(tmp_path):
     # initial build + reloads at epoch starts 1 and 2
     assert len(calls) == 3
     assert trainer.current_epoch == 2
+
+
+# ---------------------------------------------------------------------------
+# async checkpoint writes
+# ---------------------------------------------------------------------------
+def test_save_async_checkpoint_roundtrip(tmp_path):
+    """save_async=True moves serialization/IO to a writer thread; the ckpt
+    must be complete after fit (on_fit_end joins) and resumable."""
+    ckpt_dir = str(tmp_path / "ckpts")
+    config = make_config(tmp_path, max_epochs=2, extra_callbacks=[
+        {"name": "ModelCheckpoint",
+         "params": {"dirpath": ckpt_dir, "save_last": True,
+                    "save_async": True}},
+    ])
+    task, trainer = build(config)
+    trainer.fit(task)
+    from pathlib import Path
+    last = Path(ckpt_dir) / "last.ckpt"
+    assert last.exists()
+
+    config2 = make_config(tmp_path, max_epochs=3)
+    task2, trainer2 = build(config2)
+    trainer2.fit(task2, ckpt_path=str(last))
+    assert trainer2.current_epoch == 2  # resumed past the 2 saved epochs

@@ -22,15 +22,47 @@ from torchok_tpu.engine.callbacks import Callback
 logger = logging.getLogger(__name__)
 
 
-def save_train_state(path: str, state, meta: Optional[Dict] = None) -> None:
+_PENDING_SAVES: List = []
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every background checkpoint write has finished."""
+    for t in list(_PENDING_SAVES):
+        t.join()
+    _PENDING_SAVES.clear()
+
+
+def save_train_state(path: str, state, meta: Optional[Dict] = None,
+                     background: bool = False) -> None:
+    """Write a TrainState checkpoint (Orbax pytree + meta json).
+
+    With ``background=True`` the device→host transfer still happens inline
+    (the train step DONATES its state buffers, so device arrays must not be
+    referenced across steps — engine invariant), but serialization and disk
+    IO run on a writer thread so the train loop resumes immediately.
+    Writers are serialized with each other; :func:`wait_for_pending_saves`
+    (called by ModelCheckpoint at fit end and by restore) joins them.
+    """
     path = Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(state))
-    if meta:
-        with open(path / "torchok_meta.json", "w") as f:
-            json.dump(meta, f)
+    host_state = jax.device_get(state)
+
+    def _write() -> None:
+        if path.exists():
+            shutil.rmtree(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, host_state)
+        if meta:
+            with open(path / "torchok_meta.json", "w") as f:
+                json.dump(meta, f)
+
+    if background:
+        import threading
+        wait_for_pending_saves()  # one writer at a time, in order
+        t = threading.Thread(target=_write, name="ckpt-writer", daemon=True)
+        t.start()
+        _PENDING_SAVES.append(t)
+    else:
+        _write()
 
 
 def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
@@ -41,6 +73,7 @@ def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
     a tree-structure mismatch, so the optimizer state is detected as absent
     and the template's freshly initialized ``opt_state`` is kept instead.
     """
+    wait_for_pending_saves()  # a background write may still be in flight
     path = Path(path).absolute()
     ckptr = ocp.PyTreeCheckpointer()
     template = jax.device_get(target_state)
@@ -85,7 +118,7 @@ class ModelCheckpoint(Callback):
                  monitor: Optional[str] = None, save_top_k: int = 1,
                  save_last: bool = False, mode: str = "min",
                  save_weights_only: bool = False, every_n_epochs: int = 1,
-                 export_to_onnx: bool = False, **_):
+                 export_to_onnx: bool = False, save_async: bool = False, **_):
         self.dirpath = dirpath
         self.filename = filename
         self.monitor = monitor
@@ -94,6 +127,9 @@ class ModelCheckpoint(Callback):
         self.mode = mode
         self.save_weights_only = save_weights_only
         self.every_n_epochs = max(1, every_n_epochs)
+        # TPU extension: serialization + disk IO on a writer thread (the
+        # device->host pull stays inline — the step donates state buffers)
+        self.save_async = save_async
         self.best_k: List[Tuple[float, str]] = []  # (score, path)
         self.best_model_path: Optional[str] = None
         self.best_model_score: Optional[float] = None
@@ -122,11 +158,17 @@ class ModelCheckpoint(Callback):
             "global_step": trainer.global_step,
             "monitor": self.monitor,
             "metrics": trainer.callback_metrics,
-        })
+        }, background=self.save_async)
         self.on_checkpoint_saved(trainer, task, path)
 
     def on_checkpoint_saved(self, trainer, task, path: str) -> None:
         """Hook for subclasses (e.g. StableHLO export on best checkpoints)."""
+
+    def on_fit_end(self, trainer, task) -> None:
+        wait_for_pending_saves()
+
+    def on_exception(self, trainer, task, exc) -> None:
+        wait_for_pending_saves()  # do not lose an in-flight write on failure
 
     def on_epoch_end(self, trainer, task, logs: Dict[str, float]) -> None:
         if (trainer.current_epoch + 1) % self.every_n_epochs != 0:

@@ -44,6 +44,23 @@ def save_train_state(path: str, state, meta: Optional[Dict] = None,
     (called by ModelCheckpoint at fit end and by restore) joins them.
     """
     path = Path(path).absolute()
+
+    if jax.process_count() > 1:
+        # multi-host: global arrays are only PARTIALLY addressable per host
+        # (fsdp shards live across hosts), so device_get would raise. Hand
+        # Orbax the sharded jax.Arrays — it coordinates per-host shard
+        # writes into the (shared-filesystem) checkpoint dir. Synchronous:
+        # background threads cannot participate in cross-host collectives.
+        from jax.experimental import multihost_utils
+        if jax.process_index() == 0 and path.exists():
+            shutil.rmtree(path)
+        multihost_utils.sync_global_devices("torchok_ckpt_rmtree")
+        ocp.PyTreeCheckpointer().save(path, state)
+        if meta and jax.process_index() == 0:
+            with open(path / "torchok_meta.json", "w") as f:
+                json.dump(meta, f)
+        return
+
     host_state = jax.device_get(state)
 
     def _write() -> None:
@@ -76,7 +93,11 @@ def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
     wait_for_pending_saves()  # a background write may still be in flight
     path = Path(path).absolute()
     ckptr = ocp.PyTreeCheckpointer()
-    template = jax.device_get(target_state)
+    # multi-host: restore straight into the sharded template (device_get on
+    # partially-addressable global arrays would raise; Orbax reads each
+    # host's shards from the shared checkpoint dir)
+    template = (target_state if jax.process_count() > 1
+                else jax.device_get(target_state))
     saved_structure = ckptr.metadata(path)
     weights_only = (
         hasattr(template, "opt_state")

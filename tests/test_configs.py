@@ -25,3 +25,31 @@ def test_config_parses_and_builds_task(name):
         pytest.skip("needs an exported artifact on disk")
     task = TASKS.get(merged.task.name)(merged, **params)
     assert task.model is not None
+
+
+REF_CONFIG_DIR = Path("/root/reference/examples/configs")
+REF_CONFIGS = (sorted(str(p.relative_to(REF_CONFIG_DIR))
+                      for p in REF_CONFIG_DIR.rglob("*.yaml"))
+               if REF_CONFIG_DIR.exists() else [])
+
+
+@pytest.mark.parametrize("name", REF_CONFIGS)
+def test_reference_example_config_builds_task(name, monkeypatch):
+    """The REFERENCE's own example recipes, verbatim: they must parse
+    through our loader/schema and assemble their model (README claim:
+    'recipes from the reference run with at most logger/precision tweaks').
+    DB_URI is the reference CI's private MLFlow server URI interpolation."""
+    if not REF_CONFIGS:
+        pytest.skip("reference checkout unavailable")
+    monkeypatch.setenv("DB_URI", "file:/tmp/mlruns")
+    monkeypatch.setenv("S3_ARTIFACT_BUCKET", "/tmp/artifacts")
+    monkeypatch.setenv("HOME", os.environ.get("HOME", "/tmp"))
+    cfg = load_config(REF_CONFIG_DIR, name)
+    merged = merge_structured(cfg)
+    if merged.task.name in ("ONNXTask", "StableHLOTask"):
+        pytest.skip("needs an exported artifact on disk")
+    params = merged.task.get("params") or {}
+    if hasattr(params, "to_dict"):
+        params = params.to_dict()
+    task = TASKS.get(merged.task.name)(merged, **params)
+    assert task.model is not None

@@ -289,3 +289,42 @@ def test_pretrained_cache_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(restored["batch_stats"]["bn1"]["mean"]),
         sd["bn1.running_mean"].numpy())
+
+
+def test_pretrained_drop_key_substrings(tmp_path, monkeypatch):
+    """load_relative_position_bias_table=False (reference gcvit.py:169-174):
+    matching leaves keep their fresh init while everything else restores."""
+    monkeypatch.setenv("TORCHOK_TPU_WEIGHTS", str(tmp_path))
+    from flax import serialization
+    from torchok_tpu.utils.pretrained import load_pretrained_variables
+
+    cached = {"params": {
+        "block": {"relative_position_bias_table": np.ones((5, 2), np.float32),
+                  "kernel": np.full((3, 3), 7.0, np.float32)}}}
+    with open(tmp_path / "fake.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(cached))
+
+    fresh = {"params": {
+        "block": {"relative_position_bias_table": np.zeros((5, 2), np.float32),
+                  "kernel": np.zeros((3, 3), np.float32)}}}
+    restored = load_pretrained_variables(
+        "fake", fresh, drop_key_substrings=("relative_position_bias_table",))
+    np.testing.assert_array_equal(
+        restored["params"]["block"]["relative_position_bias_table"],
+        np.zeros((5, 2)))  # kept init
+    np.testing.assert_array_equal(
+        restored["params"]["block"]["kernel"], np.full((3, 3), 7.0))
+
+
+def test_gcvit_accepts_reference_detection_surface():
+    """The reference's detection recipes pass img_size as an (h, w) pair and
+    load_relative_position_bias_table; construction + eval_shape must work."""
+    model = BACKBONES.get("gcvit_tiny")(
+        img_size=[256, 256], load_relative_position_bias_table=False)
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False),
+        jax.eval_shape(lambda k, x: model.init(k, x, False),
+                       jax.random.PRNGKey(0),
+                       jnp.zeros((1, 256, 256, 3))),
+        jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32))
+    assert out.shape == (1, 8, 8, 512)

@@ -454,7 +454,9 @@ class Trainer:
                 stats = dict(variables.get("batch_stats", {}))
                 if "backbone" in stats:
                     scoped["batch_stats"] = stats["backbone"]
-                restored = load_pretrained_variables(task.pretrained_name, scoped)
+                restored = load_pretrained_variables(
+                    task.pretrained_name, scoped,
+                    drop_key_substrings=getattr(task, "pretrained_drop_keys", ()))
                 params["backbone"] = restored["params"]
                 variables = {**variables, "params": params}
                 if "backbone" in stats:

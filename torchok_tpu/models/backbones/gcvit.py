@@ -322,8 +322,16 @@ class GlobalContextVit(BaseBackbone):
     # window are PADDED up to one full window inside the block (a survival
     # divergence for tiny inputs — the reference would crash there); param
     # shapes stay the build-time ones in every regime.
-    img_size: int = 224
+    # int or (h, w) like the reference's to_2tuple surface; windows here are
+    # square, sized from min(h, w) (the reference's rectangular windows only
+    # differ for non-square inputs — its example configs are square)
+    img_size: Any = 224
     window_size: Optional[Tuple[int, ...]] = None
+    # reference surface (gcvit.py:68,169-174): when loading pretrained
+    # weights at a different resolution, drop the (shape-incompatible)
+    # relative-position bias tables and keep their fresh init. Consumed by
+    # the task's pretrained load (utils/pretrained.py drop_key_substrings).
+    load_relative_position_bias_table: bool = True
     window_ratio: Tuple[int, ...] = (32, 32, 16, 32)
     mlp_ratio: float = 3.0
     qkv_bias: bool = True
@@ -357,15 +365,18 @@ class GlobalContextVit(BaseBackbone):
         feats = []
         block_idx = 0
         num_stages = len(self.depths)
+        img_min = (min(int(v) for v in self.img_size)
+                   if isinstance(self.img_size, (tuple, list))
+                   else int(self.img_size))
         for stage, (depth, heads) in enumerate(zip(self.depths,
                                                    self.num_heads)):
             if self.window_size is not None:
                 ws = self.window_size[stage]
             else:
-                ws = max(self.img_size // self.window_ratio[stage], 1)
+                ws = max(img_min // self.window_ratio[stage], 1)
             x = GlobalContextVitStage(
                 depth=depth, num_heads=heads, window_size=ws,
-                feat_size=max(self.img_size // 4 // (2 ** stage), 1),
+                feat_size=max(img_min // 4 // (2 ** stage), 1),
                 downsample=stage != 0, stage_norm=stage == num_stages - 1,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 layer_scale=self.layer_scale,

@@ -62,6 +62,10 @@ class SegmentationTask(BaseTask):
 
         bp = dict(backbone_params or {})
         self.pretrained_name = backbone_name if bp.get("pretrained") else None
+        # reference surface: skip shape-bound rel-pos tables when told to
+        self.pretrained_drop_keys = (
+            () if bp.get("load_relative_position_bias_table", True)
+            else ("relative_position_bias_table",))
         self._backbone = BACKBONES.get(backbone_name)(**{**bp, "dtype": dtype})
 
         np_ = dict(neck_params or {})

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import os
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 logger = logging.getLogger(__name__)
 
@@ -53,11 +53,17 @@ def load_pretrained_params(name: str, params: Any) -> Any:
     return restored["params"]
 
 
-def load_pretrained_variables(name: str, variables: Any) -> Any:
+def load_pretrained_variables(name: str, variables: Any,
+                              drop_key_substrings: Sequence[str] = ()) -> Any:
     """Merge cached pretrained variables over the backbone-scoped
     ``variables`` dict (params + batch_stats). The cache file holds the full
     variable dict written by ``tools/convert_weights.py``; files that store
-    only a param tree (legacy format) still restore the params collection."""
+    only a param tree (legacy format) still restore the params collection.
+
+    Leaves whose path contains any of ``drop_key_substrings`` keep their
+    fresh init instead of the cached value (the reference's
+    ``load_relative_position_bias_table=False`` surface for fine-tuning at
+    a different resolution, gcvit.py:169-174)."""
     path = pretrained_path(name)
     if path is None:
         return variables
@@ -70,5 +76,18 @@ def load_pretrained_variables(name: str, variables: Any) -> Any:
         # legacy cache: a bare param tree
         restored = dict(variables)
         restored["params"] = serialization.from_bytes(variables["params"], payload)
+    if drop_key_substrings:
+        from flax import traverse_util
+        flat = traverse_util.flatten_dict(restored)
+        init_flat = traverse_util.flatten_dict(variables)
+        dropped = 0
+        for key in flat:
+            joined = "/".join(str(k) for k in key)
+            if any(s in joined for s in drop_key_substrings):
+                flat[key] = init_flat[key]
+                dropped += 1
+        restored = traverse_util.unflatten_dict(flat)
+        logger.info("kept fresh init for %d leaves matching %s", dropped,
+                    list(drop_key_substrings))
     logger.info("Loaded pretrained weights for %s from %s", name, path)
     return restored

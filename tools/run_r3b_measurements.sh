@@ -19,4 +19,14 @@ echo "=== bench: $(date +%H:%M:%S) ==="
 timeout 3600 python bench.py > /tmp/r3b_runs/bench.log 2>&1
 echo "exit=$?"; tail -1 /tmp/r3b_runs/bench.log
 
+# 3. fresh swin fused-path xplane: attribute the ~20% of step span outside
+#    matmul/Pallas/elementwise (round-4 lever hunting)
+echo "=== swin xplane: $(date +%H:%M:%S) ==="
+rm -rf /tmp/swin_trace
+timeout 2700 python tools/swin_trace.py > /tmp/r3b_runs/swin_trace.log 2>&1
+echo "exit=$?"
+timeout 900 python tools/analyze_xplane.py /tmp/swin_trace \
+  > /tmp/r3b_runs/swin_xplane.log 2>&1
+echo "exit=$?"; tail -15 /tmp/r3b_runs/swin_xplane.log
+
 echo "=== all done: $(date +%H:%M:%S) ==="

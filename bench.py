@@ -248,6 +248,15 @@ def main():
             "swinv2_tiny_window8_256", 256, 128, k=10, reps=3)
     except Exception as e:  # noqa: BLE001
         results["swinv2_tiny_256_bs128"] = {"error": str(e)[:200]}
+    # the other fused-window-attention families (round 3b: the plain-dot and
+    # global-q kernel modes measured faster than the XLA formulation on v5e
+    # — davit_t 1242 vs 941 img/s)
+    for key, args in (("davit_t_224_bs128", ("davit_t", 224, 128)),
+                      ("gcvit_tiny_224_bs128", ("gcvit_tiny", 224, 128))):
+        try:
+            results[key] = bench_case(*args, k=10, reps=3)
+        except Exception as e:  # noqa: BLE001
+            results[key] = {"error": str(e)[:200]}
     # serving path: eval-mode forward throughput
     for key, args in (("resnet50_224_bs256_infer", ("resnet50", 224, 256)),
                       ("swinv2_tiny_256_bs128_infer",

@@ -25,7 +25,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/torchok_tpu_jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/torchok_tpu/jax"))  # same store the CLI uses
+    # (persistent across /tmp wipes — the probes and CLI already share it)
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +81,8 @@ def _peak_tflops() -> float:
 
 
 def build_trainer(backbone: str, hw: int, batch_size: int,
-                  num_classes: int = 1000, backbone_extra: dict = None):
+                  num_classes: int = 1000, backbone_extra: dict = None,
+                  pooling_name: str = "Pooling"):
     import torchok_tpu  # noqa: F401
     from torchok_tpu.constructor import TASKS
     from torchok_tpu.constructor.config import ConfigNode
@@ -92,7 +96,7 @@ def build_trainer(backbone: str, hw: int, batch_size: int,
                 "backbone_name": backbone,
                 "backbone_params": {"pretrained": False, "in_channels": 3,
                                     **(backbone_extra or {})},
-                "pooling_name": "Pooling",
+                **({"pooling_name": pooling_name} if pooling_name else {}),
                 "head_name": "ClassificationHead",
                 "head_params": {"num_classes": num_classes},
                 "inputs": [{"shape": [3, hw, hw], "dtype": "float16"}],
@@ -120,11 +124,13 @@ def build_trainer(backbone: str, hw: int, batch_size: int,
 
 
 def bench_case(backbone: str, hw: int, batch_size: int, k: int, reps: int,
-               warmup_reps: int = 2, num_classes: int = 1000):
+               warmup_reps: int = 2, num_classes: int = 1000,
+               pooling_name: str = "Pooling"):
     """Measure sustained train throughput with a fused k-step lax.scan (one
     host dispatch per k optimizer steps — per-step dispatch through the
     tunnel jitters 2-4x) and MFU from XLA's cost analysis of the step."""
-    trainer, task = build_trainer(backbone, hw, batch_size, num_classes)
+    trainer, task = build_trainer(backbone, hw, batch_size, num_classes,
+                                  pooling_name=pooling_name)
     train_step = trainer._make_train_step(task, trainer.tx)
 
     rng = np.random.default_rng(0)
@@ -255,6 +261,16 @@ def main():
                       ("gcvit_tiny_224_bs128", ("gcvit_tiny", 224, 128))):
         try:
             results[key] = bench_case(*args, k=10, reps=3)
+        except Exception as e:  # noqa: BLE001
+            results[key] = {"error": str(e)[:200]}
+    # global-attention transformer families (no windowing): XLA already keeps
+    # these MXU-bound — measured 26%/33% MFU on v5e (tools/probe_vit_mfu.py),
+    # so no flash kernel is needed at these sequence lengths (197 tokens)
+    for key, args in (("vit_small_224_bs128", ("vit_small_patch16_224", 224, 128)),
+                      ("beit_base_224_bs128", ("beit_base_patch16_224", 224, 128))):
+        try:
+            # ViT/BEiT emit the pooled cls token (B, C) themselves — no Pooling
+            results[key] = bench_case(*args, k=10, reps=3, pooling_name=None)
         except Exception as e:  # noqa: BLE001
             results[key] = {"error": str(e)[:200]}
     # serving path: eval-mode forward throughput

@@ -14,7 +14,8 @@ EOF
   then
     echo "TPU alive at $(date +%H:%M:%S) (attempt $i)" | tee /tmp/r3b_runs/alive.flag
     bash tools/run_r3b_measurements.sh > /tmp/r3b_runs/queue.log 2>&1
-    echo "queue done at $(date +%H:%M:%S), exit=$?" >> /tmp/r3b_runs/alive.flag
+    rc=$?  # capture before $(date) resets $?
+    echo "queue done at $(date +%H:%M:%S), exit=$rc" >> /tmp/r3b_runs/alive.flag
     exit 0
   fi
   echo "probe $i failed at $(date +%H:%M:%S)" >> /tmp/r3b_runs/watch.log

@@ -69,7 +69,7 @@ def entrypoint(argv=None) -> None:
     # var is overridden by the TPU plugin, so `trainer.accelerator=cpu` is
     # the reliable way to run the CLI without claiming the TPU chip.
     accel = (config.get("trainer") or {}).get("accelerator")
-    if accel and accel not in ("auto", "gpu"):
+    if accel and accel != "auto":
         platform = {"cuda": "gpu"}.get(accel, accel)
         try:
             jax.config.update("jax_platforms", platform)

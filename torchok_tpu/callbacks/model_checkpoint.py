@@ -23,13 +23,23 @@ logger = logging.getLogger(__name__)
 
 
 _PENDING_SAVES: List = []
+_WRITER_ERRORS: List[BaseException] = []
 
 
 def wait_for_pending_saves() -> None:
-    """Block until every background checkpoint write has finished."""
+    """Block until every background checkpoint write has finished.
+
+    Re-raises the first writer-thread failure — a checkpoint that silently
+    failed to write must not be reported as saved (resume would then start
+    from a missing or partial directory).
+    """
     for t in list(_PENDING_SAVES):
         t.join()
     _PENDING_SAVES.clear()
+    if _WRITER_ERRORS:
+        err = _WRITER_ERRORS[0]
+        _WRITER_ERRORS.clear()
+        raise RuntimeError("background checkpoint write failed") from err
 
 
 def save_train_state(path: str, state, meta: Optional[Dict] = None,
@@ -72,10 +82,16 @@ def save_train_state(path: str, state, meta: Optional[Dict] = None,
             with open(path / "torchok_meta.json", "w") as f:
                 json.dump(meta, f)
 
+    def _write_bg() -> None:
+        try:
+            _write()
+        except BaseException as exc:  # noqa: BLE001 — surfaced at next join
+            _WRITER_ERRORS.append(exc)
+
     if background:
         import threading
         wait_for_pending_saves()  # one writer at a time, in order
-        t = threading.Thread(target=_write, name="ckpt-writer", daemon=True)
+        t = threading.Thread(target=_write_bg, name="ckpt-writer", daemon=True)
         t.start()
         _PENDING_SAVES.append(t)
     else:
@@ -96,8 +112,19 @@ def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
     # multi-host: restore straight into the sharded template (device_get on
     # partially-addressable global arrays would raise; Orbax reads each
     # host's shards from the shared checkpoint dir)
-    template = (target_state if jax.process_count() > 1
-                else jax.device_get(target_state))
+    multihost = jax.process_count() > 1
+    template = target_state if multihost else jax.device_get(target_state)
+
+    def _restore(item):
+        if multihost:
+            # without ArrayRestoreArgs Orbax hands back full host numpy
+            # arrays — every host would materialize the whole (fsdp-sharded)
+            # tree and the restored state would lose the shardings the
+            # donated train step was traced for
+            restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+            return ckptr.restore(path, item=item, restore_args=restore_args)
+        return ckptr.restore(path, item=item)
+
     saved_structure = ckptr.metadata(path)
     weights_only = (
         hasattr(template, "opt_state")
@@ -105,12 +132,12 @@ def restore_train_state(path: str, target_state) -> Tuple[Any, Dict]:
         and _tree_lacks_opt_state(saved_structure)
     )
     if weights_only:
-        restored = ckptr.restore(path, item=template.replace(opt_state=None))
+        restored = _restore(template.replace(opt_state=None))
         restored = restored.replace(opt_state=target_state.opt_state)
         logger.info("restored weights-only checkpoint from %s; optimizer "
                     "state freshly initialized", path)
     else:
-        restored = ckptr.restore(path, item=template)
+        restored = _restore(template)
     meta = {}
     meta_path = path / "torchok_meta.json"
     if meta_path.exists():
@@ -178,7 +205,10 @@ class ModelCheckpoint(Callback):
             "epoch": trainer.current_epoch,
             "global_step": trainer.global_step,
             "monitor": self.monitor,
-            "metrics": trainer.callback_metrics,
+            # snapshot: the live dict keeps mutating while an async writer
+            # serializes (epoch N+1 val metrics would leak into epoch N's
+            # meta, and a mid-dump insert breaks json.dump)
+            "metrics": {k: float(v) for k, v in trainer.callback_metrics.items()},
         }, background=self.save_async)
         self.on_checkpoint_saved(trainer, task, path)
 

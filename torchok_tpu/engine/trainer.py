@@ -170,8 +170,18 @@ class Trainer:
                 want = None
         if isinstance(want, int) and want > 0:
             # Lightning surface: `devices` is the PER-NODE accelerator count;
-            # jax.devices() is the global list after multi-host bring-up
-            devices = devices[:want * jax.process_count()]
+            # jax.devices() is the global list after multi-host bring-up.
+            # Take the first `want` devices OF EACH PROCESS — a plain global
+            # prefix would select only process 0's chips when want < chips
+            # per host, leaving other hosts with zero local mesh devices.
+            by_proc: Dict[int, int] = {}
+            picked = []
+            for d in devices:
+                taken = by_proc.get(d.process_index, 0)
+                if taken < want:
+                    picked.append(d)
+                    by_proc[d.process_index] = taken + 1
+            devices = picked
         mp = tp.get("model_parallel_size") or 1
         return build_mesh(devices, model_parallel=mp)
 
@@ -220,8 +230,47 @@ class Trainer:
         sharding = self.data_sharding if bs % self.num_devices == 0 else self.replicated
         return jax.device_put(arrays, sharding)
 
+    @staticmethod
+    def _pipeline_spec(pipe, train: bool, dtype):
+        """Hashable identity of a device pipeline, used to reuse the jitted
+        transform closure across ``reload_dataloaders_every_n_epochs``
+        rebuilds (fresh dataset objects, identical transform config) —
+        otherwise every reload re-traces the device pipeline. Conservative:
+        any transform with non-primitive params gets a unique id (no reuse).
+        """
+        def _freeze(v):
+            if isinstance(v, (str, int, float, bool, type(None))):
+                return v
+            if isinstance(v, (tuple, list)):
+                return tuple(_freeze(x) for x in v)
+            if isinstance(v, dict):
+                return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+            raise TypeError  # not provably identical — skip caching
+
+        parts: list = [train, str(dtype)]
+        for t in pipe.transforms:
+            try:
+                # underscore attrs are host-path runtime state (_local
+                # thread RNGs, _base_seed) — the device path (apply_batch)
+                # draws randomness from the passed JAX key only
+                items = tuple(sorted(
+                    (k, _freeze(v)) for k, v in vars(t).items()
+                    if not k.startswith("_")))
+            except TypeError:
+                return None
+            parts.append((type(t).__module__, type(t).__qualname__, items))
+        return tuple(parts)
+
     def _make_device_fn(self, dataset, train: bool) -> Callable:
         pipe = dataset.device_pipeline
+        spec = self._pipeline_spec(pipe, train, self.task.compute_dtype)
+        if spec is not None:
+            spec = (self.seed,) + spec  # base_key derives from the seed
+        cache = getattr(self, "_device_fn_cache", None)
+        if cache is None:
+            cache = self._device_fn_cache = {}
+        if spec is not None and spec in cache:
+            return cache[spec]
         dtype = self.task.compute_dtype
         base_key = jax.random.PRNGKey(self.seed + (17 if train else 31))
 
@@ -258,6 +307,8 @@ class Trainer:
             key = jax.random.fold_in(base_key, step)
             return _process(batch, key)
 
+        if spec is not None:
+            cache[spec] = device_fn
         return device_fn
 
     def _install_device_fns(self, loaders: Sequence, train: bool) -> None:

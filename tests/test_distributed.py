@@ -102,6 +102,52 @@ def test_tp_training_matches_single_device(tmp_path, multi_devices):
     assert spec[-1] == "model", f"head kernel not tensor-sharded: {spec}"
 
 
+def test_spatial_partitioning_matches_single_device(tmp_path, multi_devices):
+    """strategy='spatial' (MLPerf-style spatial partitioning): images shard
+    batch over 'data' AND height over 'model'; XLA inserts the conv halo
+    exchanges and pool/BN reduces, so the loss trajectory must equal the
+    single-device run exactly (sharding is layout, never numerics)."""
+    optimization = [{"optimizer": {"name": "SGD", "params": {"lr": 0.01}}}]
+    config = make_config(tmp_path, max_epochs=1, optimization=optimization)
+    task1, trainer1 = build(config)
+    trainer1.mesh = Mesh(np.array(multi_devices[:1]), ("data",))
+    trainer1.fit(task1)
+    loss1 = trainer1.callback_metrics["train/loss"]
+
+    sp = 2
+    config2 = make_config(tmp_path, max_epochs=1, optimization=optimization,
+                          trainer_extra={"model_parallel_size": sp,
+                                         "strategy": "spatial",
+                                         "devices": len(multi_devices)})
+    task2, trainer2 = build(config2)
+    assert trainer2.mesh.axis_names == ("data", "model")
+    trainer2.fit(task2)
+    loss2 = trainer2.callback_metrics["train/loss"]
+    assert abs(loss1 - loss2) < 1e-3
+    acc1 = trainer1.callback_metrics["valid/Accuracy"]
+    acc2 = trainer2.callback_metrics["valid/Accuracy"]
+    assert abs(acc1 - acc2) < 1e-6
+
+    # params stay replicated; the batch itself is the sharded thing
+    kernel = trainer2.state.params["head"]["fc"]["kernel"]
+    assert kernel.sharding.is_fully_replicated
+
+    # images get the (batch, height) sharding; rank-1 targets batch-only
+    host = {"image": np.zeros((8, 32, 32, 3), np.float32),
+            "target": np.zeros((8,), np.int64)}
+    sharded = trainer2._shard_batch(host)
+    assert tuple(sharded["image"].sharding.spec)[:2] == ("data", "model")
+    tspec = tuple(sharded["target"].sharding.spec)
+    assert "model" not in tspec
+
+
+def test_spatial_strategy_requires_model_axis(tmp_path):
+    config = make_config(tmp_path, max_epochs=1,
+                         trainer_extra={"strategy": "spatial"})
+    with pytest.raises(ValueError, match="model_parallel_size"):
+        build(config)
+
+
 def test_dp_x_tp_2x2_mesh_four_devices(tmp_path):
     """dp x tp on a 2x2 mesh at 4 devices (round-1 review: the 2D mesh was
     only ever exercised at 2 devices in CI). Runs in a subprocess because the

@@ -129,6 +129,10 @@ class Trainer:
         from torchok_tpu.parallel import init_distributed
         init_distributed(int(tp.get("num_nodes") or 1))
         self.mesh = mesh or self._build_mesh(tp)
+        if self.strategy == "spatial" and "model" not in self.mesh.axis_names:
+            raise ValueError(
+                "strategy 'spatial' shards the image height over the 'model' "
+                "mesh axis; set trainer.model_parallel_size > 1")
 
         # populated during fit
         self.state: Optional[TrainState] = None
@@ -227,6 +231,23 @@ class Trainer:
                     self.data_sharding, v)
                 for k, v in arrays.items()
             }
+        if self.strategy == "spatial" and "model" in self.mesh.axis_names:
+            # spatial partitioning (single-process): images shard batch over
+            # 'data' AND height over 'model' (conv halo exchanges / pooled
+            # reduces are GSPMD-inserted); rank<3 arrays (targets) shard the
+            # batch only. Ragged or indivisible batches replicate as usual.
+            from torchok_tpu.parallel.mesh import spatial_image_sharding
+            dp = self.mesh.shape["data"]
+            sp = self.mesh.shape["model"]
+            img_sharding = spatial_image_sharding(self.mesh)
+
+            def pick(v):
+                if bs % dp != 0:
+                    return self.replicated
+                if v.ndim >= 3 and v.shape[1] % sp == 0:
+                    return img_sharding
+                return self.data_sharding
+            return {k: jax.device_put(v, pick(v)) for k, v in arrays.items()}
         sharding = self.data_sharding if bs % self.num_devices == 0 else self.replicated
         return jax.device_put(arrays, sharding)
 
@@ -540,7 +561,12 @@ class Trainer:
             bn_mask=_tree_ones_like(batch_stats),
             step=jnp.zeros((), jnp.int32),
         )
-        if "model" in self.mesh.axis_names:
+        if self.strategy == "spatial":
+            # spatial partitioning: params/opt-state replicated; only the
+            # activations are sharded (batch over 'data', height over
+            # 'model' — see _shard_batch)
+            state = jax.device_put(state, self.replicated)
+        elif "model" in self.mesh.axis_names:
             # tensor parallelism: head class-dim sharded over 'model';
             # optionally fsdp over 'data' on the rest
             state = jax.device_put(state, tp_sharding(

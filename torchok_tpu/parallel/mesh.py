@@ -12,9 +12,16 @@ TPU-native equivalent is GSPMD over a device mesh:
   bandwidth, so their class dimension is sharded over ``model`` and XLA
   inserts the reduce for the softmax over sharded logits.
 
-Pipeline / sequence / expert parallelism intentionally do not exist: the
-reference is a CV trainer with ≤~1B-param encoders, no sequence dimension
-and no MoE (SURVEY.md §2.10 "NOT present"); dp(+fsdp)×tp covers its scale
+* ``spatial`` strategy — the CV analog of sequence parallelism: the image
+  HEIGHT is sharded over ``model`` in addition to batch-over-``data``
+  (MLPerf-style spatial partitioning). XLA's GSPMD inserts the conv halo
+  exchanges and global-pool/BN reduces automatically, so large-image /
+  small-per-device-batch regimes (high-res segmentation, giant detection
+  inputs) scale past the point where pure dp starves devices.
+
+Pipeline / expert parallelism intentionally do not exist: the reference is
+a CV trainer with ≤~1B-param encoders and no MoE (SURVEY.md §2.10 "NOT
+present"); dp(+fsdp)×tp plus spatial partitioning covers its scale
 envelope on a TPU pod slice.
 """
 from __future__ import annotations
@@ -112,6 +119,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
+
+
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """Spatial partitioning for NHWC image batches: batch over 'data', image
+    HEIGHT over 'model' (trainer ``strategy: spatial``). Convs over the
+    H-sharded activations compile to windowed einsums with halo exchanges on
+    the 'model' axis (XLA GSPMD); reductions spanning H (global pooling,
+    BatchNorm statistics) get the collectives inserted automatically, so
+    numerics equal the single-device run exactly."""
+    return NamedSharding(mesh, P("data", "model"))
 
 
 def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = "data"):

@@ -147,3 +147,35 @@ def test_uniform_seg_dataset_device_resize_keeps_mask_aligned(tmp_path):
     trainer = create_trainer(config)
     trainer.fit(task)
     assert np.isfinite(trainer.callback_metrics["train/loss"])
+
+
+def test_spatial_partitioning_segmentation_parity(seg_root, tmp_path,
+                                                  multi_devices):
+    """Spatial partitioning's home turf is dense prediction: images AND
+    (B, H, W) masks must co-shard (batch over 'data', H over 'model') and
+    the loss/IoU trajectory must equal the single-device run exactly."""
+    config = _cfg(seg_root, tmp_path / "a", "UnetNeck", {},
+                  "SegmentationHead", {})
+    config.trainer["max_epochs"] = 2
+    trainer1 = _fit(config)
+    logs1 = trainer1.callback_metrics
+
+    config2 = _cfg(seg_root, tmp_path / "b", "UnetNeck", {},
+                   "SegmentationHead", {})
+    config2.trainer["max_epochs"] = 2
+    config2.trainer["strategy"] = "spatial"
+    config2.trainer["model_parallel_size"] = 2
+    config2.trainer["devices"] = len(multi_devices)
+    trainer2 = _fit(config2)
+    logs2 = trainer2.callback_metrics
+
+    assert abs(logs1["train/loss"] - logs2["train/loss"]) < 1e-3
+    # f32 reduction reordering (halo exchanges) perturbs weights at rounding
+    # level over 2 epochs; boundary-pixel argmax flips bound IoU drift
+    assert abs(logs1["valid/iou"] - logs2["valid/iou"]) < 5e-3
+
+    host = {"image": np.zeros((4, 64, 64, 3), np.float32),
+            "mask": np.zeros((4, 64, 64), np.int64)}
+    sharded = trainer2._shard_batch(host)
+    assert tuple(sharded["image"].sharding.spec)[:2] == ("data", "model")
+    assert tuple(sharded["mask"].sharding.spec)[:2] == ("data", "model")

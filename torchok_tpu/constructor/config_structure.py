@@ -147,8 +147,8 @@ class TrainerParams:
     """Loop options. Field names match the reference YAML; semantics map onto
     the TPU engine: ``accelerator``/``devices`` select the JAX platform and
     mesh size, ``strategy`` selects the sharding recipe (``auto``/``dp``/
-    ``fsdp``), ``precision`` selects the compute dtype policy (16 and bf16
-    both mean bfloat16 compute on TPU).
+    ``fsdp``/``spatial``), ``precision`` selects the compute dtype policy
+    (16 and bf16 both mean bfloat16 compute on TPU).
 
     Accepted-but-inert on TPU (torch-specific switches whose effect is the
     XLA default): ``deterministic`` — jitted TPU programs are already

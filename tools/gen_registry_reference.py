@@ -81,7 +81,12 @@ def build() -> str:
     ]
     for reg_name, title, intro in SECTIONS:
         reg = getattr(C, reg_name.upper())
-        entries = sorted(reg.entries.items())
+        # only entries defined inside the package: test modules register
+        # helper classes into the live registries, and the doc must not
+        # depend on which tests imported first (order-independent build)
+        entries = sorted(
+            (n, o) for n, o in reg.entries.items()
+            if getattr(o, "__module__", "").startswith("torchok_tpu"))
         lines += [f"## {title} ({len(entries)})", "", intro, ""]
         if reg_name == "backbones":
             # 319 variant entrypoints collapse to families for readability

@@ -133,6 +133,14 @@ class Trainer:
             raise ValueError(
                 "strategy 'spatial' shards the image height over the 'model' "
                 "mesh axis; set trainer.model_parallel_size > 1")
+        if self.strategy == "spatial" and jax.process_count() > 1:
+            # the multi-host batch-assembly path shards P('data') only — the
+            # model axis would silently replicate compute, wasting 1/sp of
+            # the pod. Fail loudly instead (docs/parallelism.md).
+            raise ValueError(
+                "strategy 'spatial' is single-process only: multi-host batch "
+                "assembly shards the 'data' axis and would leave the 'model' "
+                "axis idle; use dp/fsdp/tp for multi-host runs")
 
         # populated during fit
         self.state: Optional[TrainState] = None
@@ -240,11 +248,19 @@ class Trainer:
             dp = self.mesh.shape["data"]
             sp = self.mesh.shape["model"]
             img_sharding = spatial_image_sharding(self.mesh)
+            # only tensors that actually carry the image height co-shard over
+            # 'model' — anything else (e.g. detection targets (B, N, 4) whose
+            # N happens to divide sp) would force avoidable reshard
+            # collectives inside the step if dim 1 were sharded (ADVICE r3)
+            heights = {v.shape[1] for k, v in arrays.items()
+                       if k == "image" or k.startswith("image_")
+                       if getattr(v, "ndim", 0) >= 3}
 
             def pick(v):
                 if bs % dp != 0:
                     return self.replicated
-                if v.ndim >= 3 and v.shape[1] % sp == 0:
+                if v.ndim >= 3 and v.shape[1] in heights \
+                        and v.shape[1] % sp == 0:
                     return img_sharding
                 return self.data_sharding
             return {k: jax.device_put(v, pick(v)) for k, v in arrays.items()}
@@ -266,6 +282,12 @@ class Trainer:
                 return tuple(_freeze(x) for x in v)
             if isinstance(v, dict):
                 return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+            if isinstance(v, np.ndarray):
+                # Normalize stores mean/std as ndarrays — freeze by value so
+                # realistic pipelines (they all end in Normalize) still cache
+                return ("ndarray", v.shape, str(v.dtype), v.tobytes())
+            if isinstance(v, (np.integer, np.floating, np.bool_)):
+                return v.item()
             raise TypeError  # not provably identical — skip caching
 
         parts: list = [train, str(dtype)]

@@ -127,7 +127,8 @@ def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
     H-sharded activations compile to windowed einsums with halo exchanges on
     the 'model' axis (XLA GSPMD); reductions spanning H (global pooling,
     BatchNorm statistics) get the collectives inserted automatically, so
-    numerics equal the single-device run exactly."""
+    the math matches the single-device run up to f32 reduction-ordering
+    rounding (the distributed parity tests assert to that tolerance)."""
     return NamedSharding(mesh, P("data", "model"))
 
 

@@ -7,6 +7,10 @@ import os
 # dryrun_multichip validates 8-way sharding separately.
 _N = os.environ.get("TORCHOK_TEST_DEVICES", "2")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# tests build tasks from recipes that declare pretrained: true without a
+# weight cache present — allow random init everywhere except the tests that
+# pin the hard-fail contract (they delenv this; tests/test_pretrained_e2e.py)
+os.environ.setdefault("TORCHOK_PRETRAINED_ALLOW_RANDOM", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + f" --xla_force_host_platform_device_count={_N}"

@@ -1,11 +1,15 @@
 """Pretrained-weight loading.
 
 The reference pulls timm weight URLs at runtime (reference:
-torchok/models/backbones/resnet.py:566-569). This environment has no network
+torchok/models/backbones/resnet.py:566-569) and fails loudly when a load is
+impossible (``build_model_with_cfg`` raises). This environment has no network
 egress, so ``pretrained=True`` resolves against a local cache directory
 (``TORCHOK_TPU_WEIGHTS`` or ``~/.cache/torchok_tpu/weights``) holding
-msgpack-serialized Flax param trees; a miss degrades to random init with a
-warning rather than failing the run.
+msgpack-serialized Flax variable trees written by
+``tools/convert_weights.py``. A cache miss is a hard error by default —
+silently training from random init when the user asked for pretrained
+weights is the worst failure mode. Set ``TORCHOK_PRETRAINED_ALLOW_RANDOM=1``
+to degrade to a warning (CI / smoke runs that only exercise plumbing).
 """
 from __future__ import annotations
 
@@ -17,6 +21,10 @@ from typing import Any, Optional, Sequence
 logger = logging.getLogger(__name__)
 
 _WARNED: set = set()
+
+
+class PretrainedWeightsMissing(FileNotFoundError):
+    """pretrained=True was requested but no converted weights are cached."""
 
 
 def weights_dir() -> Path:
@@ -31,19 +39,39 @@ def pretrained_path(name: str) -> Optional[Path]:
     return p if p.exists() else None
 
 
+def _allow_random() -> bool:
+    return os.environ.get("TORCHOK_PRETRAINED_ALLOW_RANDOM") == "1"
+
+
+def _miss(name: str) -> PretrainedWeightsMissing:
+    return PretrainedWeightsMissing(
+        f"pretrained=True for {name!r} but no converted weights at "
+        f"{weights_dir() / (name + '.msgpack')}. This rig has no network "
+        f"egress; supply a torch/timm checkpoint file and convert it once:\n"
+        f"    python tools/convert_weights.py --name {name} "
+        f"--checkpoint <path/to/{name}.pth>\n"
+        f"(or set TORCHOK_PRETRAINED_ALLOW_RANDOM=1 to proceed from random "
+        f"init).")
+
+
 def maybe_load_pretrained(model: Any, name: str) -> None:
-    """Record the pretrained source on the model config side.
+    """Validate pretrained availability at backbone-build time.
 
     Flax modules are stateless; actual parameter substitution happens at task
-    init via :func:`load_pretrained_params`. Here we only warn early when the
-    weights are unavailable.
+    init via :func:`load_pretrained_variables`. Here we fail fast (before any
+    compilation) when the weights are unavailable — matching the reference,
+    where ``build_model_with_cfg`` either loads or raises.
     """
-    if pretrained_path(name) is None and name not in _WARNED:
+    if pretrained_path(name) is not None:
+        return
+    if not _allow_random():
+        raise _miss(name)
+    if name not in _WARNED:
         _WARNED.add(name)
         logger.warning(
             "pretrained=True for %s but no local weights found under %s; "
-            "continuing with random initialization (no network egress).",
-            name, weights_dir(),
+            "TORCHOK_PRETRAINED_ALLOW_RANDOM=1 set — continuing with random "
+            "initialization.", name, weights_dir(),
         )
 
 
@@ -66,6 +94,8 @@ def load_pretrained_variables(name: str, variables: Any,
     a different resolution, gcvit.py:169-174)."""
     path = pretrained_path(name)
     if path is None:
+        if not _allow_random():
+            raise _miss(name)
         return variables
     from flax import serialization
     with open(path, "rb") as f:

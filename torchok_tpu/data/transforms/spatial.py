@@ -1,7 +1,14 @@
-"""Spatial (geometry) transforms — host path over cv2/numpy.
+"""Spatial (geometry) transforms — host path over cv2/numpy, plus batched
+device paths for the high-traffic fixed-output-shape geometry.
 
-These run per-sample in loader worker threads (cv2 releases the GIL), since
-geometry with per-sample output shapes cannot batch onto the TPU cheaply.
+Host: per-sample in loader worker threads (cv2 releases the GIL).
+Device: ops whose OUTPUT shape is static (RandomResizedCrop / crops at a
+configured size, same-size warps like Rotate / ShiftScaleRotate) additionally
+implement ``apply_batch`` over the NHWC batch via the vmapped
+gather-interpolate kernel in :mod:`torchok_tpu.ops.warp` — per-sample random
+parameters from folded JAX keys, mask co-transforms with nearest sampling,
+cv2 conventions so host/device paths agree. Geometry with data-dependent
+output shapes (RandomScale, LongestMaxSize, ...) stays host-only.
 Names/parameters mirror the Albumentations ops the reference registers
 (reference: torchok/data/transforms/__init__.py:30-67) plus the custom
 FitResize (reference: torchok/data/transforms/spatial.py:13-72).
@@ -27,6 +34,78 @@ def _resize(img: np.ndarray, h: int, w: int, interpolation=_INTERP) -> np.ndarra
     if out.ndim == 2 and img.ndim == 3:
         out = out[..., None]
     return out
+
+
+# --------------------- device (batched TPU) geometry ----------------------
+
+_DEVICE_BORDERS = {cv2.BORDER_CONSTANT: "constant",
+                   cv2.BORDER_REPLICATE: "replicate",
+                   cv2.BORDER_REFLECT_101: "reflect101"}
+_DEVICE_INTERPS = (cv2.INTER_LINEAR, cv2.INTER_NEAREST)
+
+
+def _scalar_or_none(v) -> bool:
+    return v is None or isinstance(v, (int, float))
+
+
+def _device_warp_batch(batch, inv_mats, out_hw, applied, interpolation,
+                       border_mode, value, mask_value):
+    """Warp image (+mask) with per-sample DST->SRC affines on device.
+
+    ``applied`` (N,) bool selects identity per sample (requires
+    out_hw == input hw); image samples bilinear/nearest per
+    ``interpolation``, the mask always nearest with ``mask_value`` fill.
+    """
+    import jax.numpy as jnp
+
+    from torchok_tpu.ops.warp import inverse_affine_sample
+
+    batch = dict(batch)
+    img = batch["image"]
+    border = _DEVICE_BORDERS[border_mode]
+    method = "nearest" if interpolation == cv2.INTER_NEAREST else "bilinear"
+    fill = 0.0 if value is None else float(value)
+    x = img.astype(jnp.float32)
+    out = inverse_affine_sample(x, inv_mats, out_hw, method, border, fill)
+    if applied is not None:
+        out = jnp.where(applied.reshape(-1, 1, 1, 1), out, x)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+    batch["image"] = out
+
+    if batch.get("mask") is not None and "mask" in batch:
+        mask = batch["mask"]
+        m = mask[..., None] if mask.ndim == 3 else mask
+        mfill = 0.0 if mask_value is None else float(mask_value)
+        mo = inverse_affine_sample(m, inv_mats, out_hw, "nearest", border,
+                                   mfill)
+        if applied is not None:
+            mo = jnp.where(applied.reshape(-1, 1, 1, 1), mo, m)
+        batch["mask"] = mo[..., 0] if mask.ndim == 3 else mo
+    return batch
+
+
+def _device_crop_batch(batch, rects, out_hw):
+    """Per-sample integer crop-resize on device (image bilinear if resampling
+    is real, exact nearest when the rect size equals the output; mask
+    nearest)."""
+    import jax.numpy as jnp
+
+    from torchok_tpu.ops.warp import crop_resize_sample
+
+    batch = dict(batch)
+    img = batch["image"]
+    x = img.astype(jnp.float32)
+    out = crop_resize_sample(x, rects, out_hw, "bilinear", "replicate")
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+    batch["image"] = out
+    if batch.get("mask") is not None and "mask" in batch:
+        mask = batch["mask"]
+        m = mask[..., None] if mask.ndim == 3 else mask
+        mo = crop_resize_sample(m, rects, out_hw, "nearest", "replicate")
+        batch["mask"] = mo[..., 0] if mask.ndim == 3 else mo
+    return batch
 
 
 # ------------------------------ bbox helpers ------------------------------
@@ -221,11 +300,30 @@ class _CropBase(BaseTransform):
 @TRANSFORMS.register_class
 class CenterCrop(_CropBase):
     always_apply = True
+    device_capable = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, height: int, width: int, always_apply: bool = False,
                  p: float = 1.0, **_):
         super().__init__(always_apply, p)
         self.height, self.width = height, width
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        h, w = img.shape[1:3]
+        if h < self.height or w < self.width:
+            raise ValueError(
+                f"device CenterCrop needs inputs >= ({self.height}, "
+                f"{self.width}); got ({h}, {w}) — keep the crop on host")
+        y0 = (h - self.height) // 2
+        x0 = (w - self.width) // 2
+        batch["image"] = img[:, y0:y0 + self.height, x0:x0 + self.width]
+        if batch.get("mask") is not None and "mask" in batch:
+            batch["mask"] = batch["mask"][:, y0:y0 + self.height,
+                                          x0:x0 + self.width]
+        return batch
 
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
@@ -245,10 +343,35 @@ class CenterCrop(_CropBase):
 
 @TRANSFORMS.register_class
 class RandomCrop(_CropBase):
+    device_needs_uniform = True
+    device_bbox_safe = False
+
     def __init__(self, height: int, width: int, always_apply: bool = False,
                  p: float = 1.0, **_):
         super().__init__(always_apply, p)
         self.height, self.width = height, width
+
+    @property
+    def device_capable(self):
+        # p < 1 would need an identity branch at a different output shape
+        return self.p >= 1.0
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        if h < self.height or w < self.width:
+            raise ValueError(
+                f"device RandomCrop needs inputs >= ({self.height}, "
+                f"{self.width}); got ({h}, {w}) — keep the crop on host")
+        ky, kx = jax.random.split(rng)
+        y0 = jax.random.randint(ky, (n,), 0, h - self.height + 1)
+        x0 = jax.random.randint(kx, (n,), 0, w - self.width + 1)
+        size = jnp.stack([jnp.full((n,), self.height),
+                          jnp.full((n,), self.width)], -1)
+        rects = jnp.concatenate([jnp.stack([y0, x0], -1), size], -1)
+        return _device_crop_batch(batch, rects, (self.height, self.width))
 
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
@@ -293,6 +416,8 @@ class Crop(_CropBase):
 @TRANSFORMS.register_class
 class RandomResizedCrop(BaseTransform):
     geometric = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, height: int, width: int, scale=(0.08, 1.0),
                  ratio=(3 / 4, 4 / 3), interpolation: int = _INTERP,
@@ -301,6 +426,45 @@ class RandomResizedCrop(BaseTransform):
         self.height, self.width = height, width
         self.scale, self.ratio = tuple(scale), tuple(ratio)
         self.interpolation = interpolation
+
+    @property
+    def device_capable(self):
+        return self.p >= 1.0 and self.interpolation == cv2.INTER_LINEAR
+
+    def apply_batch(self, batch, rng):
+        """Vectorized torchvision-style rejection sampling: 10 (area, aspect)
+        candidates per sample, first in-bounds one wins, center-crop
+        fallback; then one batched crop-resize."""
+        import jax
+        import jax.numpy as jnp
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_area, k_asp, k_y, k_x = jax.random.split(rng, 4)
+        area = float(h * w)
+        ta = area * jax.random.uniform(k_area, (n, 10),
+                                       minval=self.scale[0],
+                                       maxval=self.scale[1])
+        aspect = jnp.exp(jax.random.uniform(
+            k_asp, (n, 10), minval=np.log(self.ratio[0]),
+            maxval=np.log(self.ratio[1])))
+        cw = jnp.round(jnp.sqrt(ta * aspect))
+        ch = jnp.round(jnp.sqrt(ta / aspect))
+        valid = (cw > 0) & (cw <= w) & (ch > 0) & (ch <= h)
+        first = jnp.argmax(valid, axis=1)
+        rows = jnp.arange(n)
+        any_valid = jnp.any(valid, axis=1)
+        side = float(min(h, w))
+        chs = jnp.where(any_valid, ch[rows, first], side)
+        cws = jnp.where(any_valid, cw[rows, first], side)
+        # uniform integer offset in [0, h - ch]; center for the fallback
+        uy = jax.random.uniform(k_y, (n,))
+        ux = jax.random.uniform(k_x, (n,))
+        y0 = jnp.where(any_valid, jnp.floor(uy * (h - chs + 1)),
+                       jnp.floor((h - chs) / 2))
+        x0 = jnp.where(any_valid, jnp.floor(ux * (w - cws + 1)),
+                       jnp.floor((w - cws) / 2))
+        rects = jnp.stack([y0, x0, chs, cws], -1)
+        return _device_crop_batch(batch, rects, (self.height, self.width))
 
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
@@ -372,6 +536,8 @@ class PadIfNeeded(BaseTransform):
 @TRANSFORMS.register_class
 class Rotate(BaseTransform):
     geometric = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, limit: Union[float, Tuple[float, float]] = 90,
                  interpolation: int = _INTERP,
@@ -383,6 +549,31 @@ class Rotate(BaseTransform):
         self.border_mode = border_mode
         self.value = value
         self.mask_value = mask_value
+
+    @property
+    def device_capable(self):
+        return (self.interpolation in _DEVICE_INTERPS
+                and self.border_mode in _DEVICE_BORDERS
+                and _scalar_or_none(self.value)
+                and _scalar_or_none(self.mask_value))
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from torchok_tpu.ops.warp import invert_affine, rotation_mats
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_ang, k_p = jax.random.split(rng)
+        angles = jax.random.uniform(k_ang, (n,), minval=self.limit[0],
+                                    maxval=self.limit[1])
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        mats = rotation_mats(angles, jnp.ones((n,), jnp.float32),
+                             (w / 2 - 0.5, h / 2 - 0.5))
+        return _device_warp_batch(batch, invert_affine(mats), (h, w),
+                                  applied, self.interpolation,
+                                  self.border_mode, self.value,
+                                  self.mask_value)
 
     def get_params(self, sample):
         return {"angle": float(self.rng.uniform(*self.limit))}
@@ -447,6 +638,8 @@ class Transpose(BaseTransform):
 @TRANSFORMS.register_class
 class ShiftScaleRotate(BaseTransform):
     geometric = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, shift_limit=0.0625, scale_limit=0.1, rotate_limit=45,
                  interpolation: int = _INTERP,
@@ -470,6 +663,39 @@ class ShiftScaleRotate(BaseTransform):
             "dx": float(self.rng.uniform(*self.shift_limit)),
             "dy": float(self.rng.uniform(*self.shift_limit)),
         }
+
+    @property
+    def device_capable(self):
+        return (self.interpolation in _DEVICE_INTERPS
+                and self.border_mode in _DEVICE_BORDERS
+                and _scalar_or_none(self.value)
+                and _scalar_or_none(self.mask_value))
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from torchok_tpu.ops.warp import invert_affine, rotation_mats
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_ang, k_sc, k_dx, k_dy, k_p = jax.random.split(rng, 5)
+        angles = jax.random.uniform(k_ang, (n,), minval=self.rotate_limit[0],
+                                    maxval=self.rotate_limit[1])
+        scales = 1.0 + jax.random.uniform(k_sc, (n,),
+                                          minval=self.scale_limit[0],
+                                          maxval=self.scale_limit[1])
+        dx = jax.random.uniform(k_dx, (n,), minval=self.shift_limit[0],
+                                maxval=self.shift_limit[1])
+        dy = jax.random.uniform(k_dy, (n,), minval=self.shift_limit[0],
+                                maxval=self.shift_limit[1])
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        mats = rotation_mats(angles, scales, (w / 2 - 0.5, h / 2 - 0.5))
+        mats = mats.at[:, 0, 2].add(dx * w)
+        mats = mats.at[:, 1, 2].add(dy * h)
+        return _device_warp_batch(batch, invert_affine(mats), (h, w),
+                                  applied, self.interpolation,
+                                  self.border_mode, self.value,
+                                  self.mask_value)
 
     def _warp(self, img, angle, scale, dx, dy, interp, value):
         h, w = img.shape[:2]

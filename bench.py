@@ -263,6 +263,19 @@ def main():
             results[key] = bench_case(*args, k=10, reps=3)
         except Exception as e:  # noqa: BLE001
             results[key] = {"error": str(e)[:200]}
+    # CNN families with depthwise / multi-branch topologies (round-4 ask:
+    # perf evidence for every backbone family). Depthwise convs map to the
+    # VPU rather than the 128x128 MXU, so MFU is expected to be low; img/s
+    # is the meaningful number for these.
+    for key, args, kw in (
+            ("efficientnet_b0_224_bs256", ("efficientnet_b0", 224, 256), {}),
+            ("mobilenetv3_large_100_224_bs256",
+             ("mobilenetv3_large_100", 224, 256), {}),
+            ("hrnet_w18_224_bs128", ("hrnet_w18", 224, 128), {})):
+        try:
+            results[key] = bench_case(*args, k=10, reps=3, **kw)
+        except Exception as e:  # noqa: BLE001
+            results[key] = {"error": str(e)[:200]}
     # global-attention transformer families (no windowing): XLA already keeps
     # these MXU-bound — measured 26%/33% MFU on v5e (tools/probe_vit_mfu.py),
     # so no flash kernel is needed at these sequence lengths (197 tokens)

@@ -82,7 +82,7 @@ def _peak_tflops() -> float:
 
 def build_trainer(backbone: str, hw: int, batch_size: int,
                   num_classes: int = 1000, backbone_extra: dict = None,
-                  pooling_name: str = "Pooling"):
+                  pooling_name: str = "Pooling", neck_name: str = None):
     import torchok_tpu  # noqa: F401
     from torchok_tpu.constructor import TASKS
     from torchok_tpu.constructor.config import ConfigNode
@@ -96,6 +96,7 @@ def build_trainer(backbone: str, hw: int, batch_size: int,
                 "backbone_name": backbone,
                 "backbone_params": {"pretrained": False, "in_channels": 3,
                                     **(backbone_extra or {})},
+                **({"neck_name": neck_name} if neck_name else {}),
                 **({"pooling_name": pooling_name} if pooling_name else {}),
                 "head_name": "ClassificationHead",
                 "head_params": {"num_classes": num_classes},
@@ -125,12 +126,13 @@ def build_trainer(backbone: str, hw: int, batch_size: int,
 
 def bench_case(backbone: str, hw: int, batch_size: int, k: int, reps: int,
                warmup_reps: int = 2, num_classes: int = 1000,
-               pooling_name: str = "Pooling"):
+               pooling_name: str = "Pooling", neck_name: str = None):
     """Measure sustained train throughput with a fused k-step lax.scan (one
     host dispatch per k optimizer steps — per-step dispatch through the
     tunnel jitters 2-4x) and MFU from XLA's cost analysis of the step."""
     trainer, task = build_trainer(backbone, hw, batch_size, num_classes,
-                                  pooling_name=pooling_name)
+                                  pooling_name=pooling_name,
+                                  neck_name=neck_name)
     train_step = trainer._make_train_step(task, trainer.tx)
 
     rng = np.random.default_rng(0)
@@ -271,7 +273,10 @@ def main():
             ("efficientnet_b0_224_bs256", ("efficientnet_b0", 224, 256), {}),
             ("mobilenetv3_large_100_224_bs256",
              ("mobilenetv3_large_100", 224, 256), {}),
-            ("hrnet_w18_224_bs128", ("hrnet_w18", 224, 128), {})):
+            # hrnet emits a 4-branch pyramid: classification needs its
+            # incre+downsample neck (the reference hrnet cls recipe's shape)
+            ("hrnet_w18_224_bs128", ("hrnet_w18", 224, 128),
+             {"neck_name": "HRNetClassificationNeck"})):
         try:
             results[key] = bench_case(*args, k=10, reps=3, **kw)
         except Exception as e:  # noqa: BLE001

@@ -28,6 +28,97 @@ def _bernoulli_mask(rng, batch_size: int, p: float):
     return m.reshape((batch_size,) + (1,) * 3)
 
 
+def _sep_filter_per_sample(img, kh, kw):
+    """Separable depthwise filtering with PER-SAMPLE 1D kernels and
+    reflect-101 borders (cv2's BORDER_DEFAULT), over an NHWC f32 batch.
+
+    ``kh``/``kw`` are ``(B, K)`` odd-length kernels. Taps beyond a sample's
+    chosen radius are zero: they read reflect-padded pixels but contribute
+    nothing, so a single max-radius pad serves every per-sample kernel size
+    exactly (reflect-101 at offset d returns pixel d for any d <= pad).
+    Runs as one grouped conv per axis (one kernel per (sample, channel))."""
+    b, h, w, c = img.shape
+    out = img
+    for axis, k in ((1, kh), (2, kw)):
+        r = (k.shape[1] - 1) // 2
+        if r == 0:
+            continue
+        pad = [(0, 0)] * 4
+        pad[axis] = (r, r)
+        x = jnp.pad(out, pad, mode="reflect")
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(
+            1, b * c, x.shape[1], x.shape[2])
+        rhs = jnp.broadcast_to(k[:, None, :].astype(jnp.float32),
+                               (b, c, k.shape[1])).reshape(b * c, 1, -1)
+        rhs = rhs[:, :, :, None] if axis == 1 else rhs[:, :, None, :]
+        y = jax.lax.conv_general_dilated(
+            x, rhs, window_strides=(1, 1), padding="VALID",
+            feature_group_count=b * c,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        out = jnp.transpose(y.reshape(b, c, h, w), (0, 2, 3, 1))
+    return out
+
+
+def _fixed_filter2d(img, kernel):
+    """cv2.filter2D semantics (correlation, reflect-101 border) with one
+    shared 2D kernel, depthwise over an NHWC f32 batch."""
+    kernel = jnp.asarray(kernel, jnp.float32)
+    kh, kw = kernel.shape
+    c = img.shape[3]
+    x = jnp.pad(img, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+                mode="reflect")
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    rhs = jnp.broadcast_to(kernel[None, None], (c, 1, kh, kw))
+    y = jax.lax.conv_general_dilated(
+        x, rhs, window_strides=(1, 1), padding="VALID",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return jnp.transpose(y, (0, 2, 3, 1))
+
+
+def _box_kernels(radii, max_r):
+    """(B,) radii -> (B, 2*max_r+1) normalized box kernels."""
+    pos = jnp.abs(jnp.arange(-max_r, max_r + 1))
+    mask = (pos[None, :] <= radii[:, None]).astype(jnp.float32)
+    return mask / mask.sum(axis=1, keepdims=True)
+
+
+# cv2.getGaussianKernel uses fixed binomial tables for ksize<=7 when sigma<=0
+_CV2_SMALL_GAUSS = {
+    0: np.array([1.0], np.float32),
+    1: np.array([0.25, 0.5, 0.25], np.float32),
+    2: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], np.float32),
+    3: np.array([0.03125, 0.109375, 0.21875, 0.28125,
+                 0.21875, 0.109375, 0.03125], np.float32),
+}
+
+
+def _gauss_kernels(radii, sigmas, max_r):
+    """(B,) radii + sigmas -> (B, 2*max_r+1) gaussian kernels with cv2
+    getGaussianKernel semantics: sigma<=0 derives sigma from ksize, and
+    ksize<=7 with sigma<=0 uses cv2's hardcoded binomial tables."""
+    pos = jnp.arange(-max_r, max_r + 1).astype(jnp.float32)
+    rf = radii.astype(jnp.float32)
+    sigma_auto = 0.3 * ((2.0 * rf + 1.0 - 1.0) * 0.5 - 1.0) + 0.8
+    sig = jnp.where(sigmas > 0, sigmas, sigma_auto)
+    w = jnp.exp(-0.5 * (pos[None, :] / sig[:, None]) ** 2)
+    w = w * (jnp.abs(pos)[None, :] <= radii[:, None])
+    w = w / w.sum(axis=1, keepdims=True)
+    n_tab = min(max_r, 3) + 1
+    table = np.zeros((n_tab, 2 * max_r + 1), np.float32)
+    for r in range(n_tab):
+        table[r, max_r - r:max_r + r + 1] = _CV2_SMALL_GAUSS[r]
+    tab = jnp.asarray(table)[jnp.clip(radii, 0, n_tab - 1)]
+    w = jnp.where(((sigmas <= 0) & (radii <= 3))[:, None], tab, w)
+    return w
+
+
+def _quantize_u8(x):
+    """Float -> uint8-valued float with cv2-style saturate (round-half-up is
+    within 1 LSB of cvRound's half-to-even; parity tests use atol 1)."""
+    return jnp.floor(jnp.clip(x, 0, 255) + 0.5)
+
+
 @TRANSFORMS.register_class
 class Normalize(BaseTransform):
     """Albumentations Normalize: (x - mean*max_pixel) / (std*max_pixel)."""
@@ -538,12 +629,26 @@ class Posterize(BaseTransform):
 
 @TRANSFORMS.register_class
 class ChannelShuffle(BaseTransform):
+    device_capable = True
+
     def get_params(self, sample):
         c = sample["image"].shape[-1]
         return {"perm": self.rng.permutation(c)}
 
     def apply(self, image, perm=None, **params):
         return image[..., perm]
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, _, _, c = img.shape
+        r_apply, r_perm = jax.random.split(rng)
+        # argsort of iid uniforms = a uniformly random permutation per sample
+        perm = jnp.argsort(jax.random.uniform(r_perm, (n, c)), axis=1)
+        shuffled = jnp.take_along_axis(img, perm[:, None, None, :], axis=3)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, shuffled, img)
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -618,10 +723,12 @@ class FromFloat(BaseTransform):
         return (image * mv).astype(self.dtype)
 
 
-# ------------------------------ host-only ops ------------------------------
+# ---------------- filtering / color ops (host cv2 + device) ----------------
 
 @TRANSFORMS.register_class
 class Blur(BaseTransform):
+    device_capable = True
+
     def __init__(self, blur_limit=7, always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
         self.blur_limit = (3, blur_limit) if isinstance(blur_limit, int) else tuple(blur_limit)
@@ -633,9 +740,27 @@ class Blur(BaseTransform):
     def apply(self, image, ksize=3, **params):
         return cv2.blur(image, (ksize, ksize))
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        r_apply, r_k = jax.random.split(rng)
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        k = _box_kernels(radii, hi)
+        x = _sep_filter_per_sample(img.astype(jnp.float32), k, k)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = _quantize_u8(out).astype(img.dtype)
+        batch["image"] = out
+        return batch
+
 
 @TRANSFORMS.register_class
 class GaussianBlur(BaseTransform):
+    device_capable = True
+
     def __init__(self, blur_limit=(3, 7), sigma_limit=0, always_apply: bool = False,
                  p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -649,6 +774,24 @@ class GaussianBlur(BaseTransform):
 
     def apply(self, image, ksize=3, sigma=0.0, **params):
         return cv2.GaussianBlur(image, (ksize, ksize), sigmaX=sigma)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        r_apply, r_k, r_sig = jax.random.split(rng, 3)
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        sigmas = jax.random.uniform(
+            r_sig, (n,), minval=self.sigma_limit[0], maxval=self.sigma_limit[1])
+        k = _gauss_kernels(radii, sigmas, hi)
+        x = _sep_filter_per_sample(img.astype(jnp.float32), k, k)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = _quantize_u8(out).astype(img.dtype)
+        batch["image"] = out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -667,6 +810,8 @@ class MedianBlur(BaseTransform):
 
 @TRANSFORMS.register_class
 class MotionBlur(BaseTransform):
+    device_capable = True
+
     def __init__(self, blur_limit=7, always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
         self.blur_limit = (3, blur_limit) if isinstance(blur_limit, int) else tuple(blur_limit)
@@ -680,6 +825,28 @@ class MotionBlur(BaseTransform):
             kernel[:, k // 2] = 1.0
         kernel /= kernel.sum()
         return cv2.filter2D(image, -1, kernel)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        r_apply, r_k, r_dir = jax.random.split(rng, 3)
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        box = _box_kernels(radii, hi)
+        delta = (jnp.arange(-hi, hi + 1) == 0).astype(jnp.float32)
+        delta = jnp.broadcast_to(delta, box.shape)
+        # host: middle ROW filled -> averaging along width (horizontal smear)
+        horiz = jax.random.bernoulli(r_dir, 0.5, (n,))[:, None]
+        kh = jnp.where(horiz, delta, box)
+        kw = jnp.where(horiz, box, delta)
+        x = _sep_filter_per_sample(img.astype(jnp.float32), kh, kw)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = _quantize_u8(out).astype(img.dtype)
+        batch["image"] = out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -700,6 +867,8 @@ class CLAHE(BaseTransform):
 
 @TRANSFORMS.register_class
 class Equalize(BaseTransform):
+    device_capable = True
+
     def apply(self, image, **params):
         if image.ndim == 2:
             return cv2.equalizeHist(image)
@@ -708,9 +877,73 @@ class Equalize(BaseTransform):
             out[..., c] = cv2.equalizeHist(image[..., c])
         return out
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        if not jnp.issubdtype(img.dtype, jnp.integer):
+            raise TypeError("Equalize expects uint8 images; "
+                            "place it before ToFloat")
+        n, h, w, c = img.shape
+        flat = jnp.transpose(img, (0, 3, 1, 2)).reshape(n, c, h * w)
+        hist = jax.vmap(jax.vmap(
+            lambda v: jnp.bincount(v, length=256)))(flat)
+        cdf = jnp.cumsum(hist, axis=-1)
+        total = h * w
+        # cv2.equalizeHist: lut(i) = round((cdf(i)-cdf_min)*255/(total-cdf_min))
+        # with cdf_min = cdf at the first non-zero bin; constant channels
+        # pass through unchanged
+        cdf_min = jnp.min(jnp.where(hist > 0, cdf, total + 1),
+                          axis=-1, keepdims=True)
+        denom = jnp.maximum(total - cdf_min, 1)
+        lut = jnp.floor(jnp.clip(cdf - cdf_min, 0, None) * 255.0
+                        / denom + 0.5)
+        mapped = jnp.take_along_axis(lut, flat, axis=2)
+        mapped = jnp.transpose(mapped.reshape(n, c, h, w), (0, 2, 3, 1))
+        const_ch = (cdf_min[..., 0] >= total)  # (n, c)
+        x = jnp.where(const_ch[:, None, None, :],
+                      img.astype(jnp.float32), mapped)
+        m = _bernoulli_mask(rng, n, self.p)
+        batch["image"] = jnp.where(m, x, img.astype(jnp.float32)).astype(img.dtype)
+        return batch
+
+
+def _rgb_to_hsv_u8(imgf):
+    """cv2 COLOR_RGB2HSV uint8 semantics on a float 0..255 tensor:
+    H in [0,180) (degrees/2), S/V in [0,255] — all integer-valued floats."""
+    r, g, b = imgf[..., 0], imgf[..., 1], imgf[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = mx - mn
+    safe = jnp.where(delta > 0, delta, 1.0)
+    h = jnp.where(mx == r, (g - b) / safe,
+                  jnp.where(mx == g, 2.0 + (b - r) / safe,
+                            4.0 + (r - g) / safe))
+    h = (h * 30.0) % 180.0
+    h = jnp.where(delta > 0, h, 0.0)
+    s = 255.0 * delta / jnp.where(mx > 0, mx, 1.0)
+    return (jnp.floor(h + 0.5) % 180.0, jnp.floor(s + 0.5), mx)
+
+
+def _hsv_u8_to_rgb(h, s, v):
+    """cv2 COLOR_HSV2RGB uint8 semantics (H in [0,180))."""
+    h60 = (h * 2.0) / 60.0
+    i = jnp.floor(h60) % 6
+    f = h60 - jnp.floor(h60)
+    s01 = s / 255.0
+    p = v * (1 - s01)
+    q = v * (1 - s01 * f)
+    t = v * (1 - s01 * (1 - f))
+    sel = [i == 0, i == 1, i == 2, i == 3, i == 4]
+    r = jnp.select(sel, [v, q, p, p, t], v)
+    g = jnp.select(sel, [t, v, v, q, p], p)
+    b = jnp.select(sel, [p, p, t, v, v], q)
+    return jnp.stack([r, g, b], axis=-1)
+
 
 @TRANSFORMS.register_class
 class HueSaturationValue(BaseTransform):
+    device_capable = True
+
     def __init__(self, hue_shift_limit=20, sat_shift_limit=30, val_shift_limit=20,
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -726,6 +959,28 @@ class HueSaturationValue(BaseTransform):
         hsv[..., 1] = np.clip(hsv[..., 1] + int(self.rng.uniform(*self.sat_shift_limit)), 0, 255)
         hsv[..., 2] = np.clip(hsv[..., 2] + int(self.rng.uniform(*self.val_shift_limit)), 0, 255)
         return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        if not jnp.issubdtype(img.dtype, jnp.integer):
+            raise TypeError("HueSaturationValue expects uint8 images "
+                            "(cv2 HSV parity); place it before ToFloat")
+        n = img.shape[0]
+        r_apply, rh, rs, rv = jax.random.split(rng, 4)
+
+        def shift(key, lim):  # host truncates via int()
+            u = jax.random.uniform(key, (n, 1, 1),
+                                   minval=lim[0], maxval=lim[1])
+            return jnp.trunc(u)
+        h, s, v = _rgb_to_hsv_u8(img.astype(jnp.float32))
+        h = (h + shift(rh, self.hue_shift_limit)) % 180.0
+        s = jnp.clip(s + shift(rs, self.sat_shift_limit), 0, 255)
+        v = jnp.clip(v + shift(rv, self.val_shift_limit), 0, 255)
+        x = _quantize_u8(_hsv_u8_to_rgb(h, s, v))
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, x, img.astype(jnp.float32)).astype(img.dtype)
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -759,6 +1014,9 @@ class Downscale(BaseTransform):
         super().__init__(always_apply, p)
         self.scale_min, self.scale_max = scale_min, scale_max
         self.interpolation = interpolation
+        # the device path composes the down+up NEAREST maps into one exact
+        # integer gather; other interpolations stay on host
+        self.device_capable = interpolation == cv2.INTER_NEAREST
 
     def apply(self, image, **params):
         s = float(self.rng.uniform(self.scale_min, self.scale_max))
@@ -767,9 +1025,32 @@ class Downscale(BaseTransform):
                            interpolation=self.interpolation)
         return cv2.resize(small, (w, h), interpolation=self.interpolation)
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, _ = img.shape
+        r_apply, r_s = jax.random.split(rng)
+        s = jax.random.uniform(r_s, (n,), minval=self.scale_min,
+                               maxval=self.scale_max)
+        hs = jnp.maximum(1, jnp.floor(h * s)).astype(jnp.int32)
+        ws = jnp.maximum(1, jnp.floor(w * s)).astype(jnp.int32)
+        # cv2 NEAREST: src = floor(dst * src/dst); down-then-up composes to
+        # exact integer index math (no float rounding drift)
+        y = jnp.arange(h, dtype=jnp.int32)
+        iy = (((y[None, :] * hs[:, None]) // h) * h) // hs[:, None]
+        x_ = jnp.arange(w, dtype=jnp.int32)
+        ix = (((x_[None, :] * ws[:, None]) // w) * w) // ws[:, None]
+        g = jnp.take_along_axis(img, iy[:, :, None, None], axis=1)
+        g = jnp.take_along_axis(g, ix[:, None, :, None], axis=2)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, g, img)
+        return batch
+
 
 @TRANSFORMS.register_class
 class Sharpen(BaseTransform):
+    device_capable = True
+
     def __init__(self, alpha=(0.2, 0.5), lightness=(0.5, 1.0),
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -786,9 +1067,39 @@ class Sharpen(BaseTransform):
             return np.clip(out, 0, 255).astype(np.uint8)
         return out
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        imgf = img.astype(jnp.float32)
+        r_apply, r_a, r_l = jax.random.split(rng, 3)
+        alpha = jax.random.uniform(r_a, (n, 1, 1, 1),
+                                   minval=self.alpha[0], maxval=self.alpha[1])
+        light = jax.random.uniform(r_l, (n, 1, 1, 1),
+                                   minval=self.lightness[0],
+                                   maxval=self.lightness[1])
+        # kernel = A + lightness*E_center: conv once with the shared A, the
+        # per-sample center term is lightness * image
+        base = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float32)
+        sharp = _fixed_filter2d(imgf, base) + light * imgf
+        if is_int:
+            # host filter2D on uint8 saturates BEFORE the blend
+            sharp = _quantize_u8(sharp)
+        x = (1 - alpha) * imgf + alpha * sharp
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, imgf)
+        if is_int:
+            # host blend ends in np.clip(...).astype(uint8): truncation
+            out = jnp.clip(out, 0, 255).astype(img.dtype)
+        batch["image"] = out
+        return batch
+
 
 @TRANSFORMS.register_class
 class ToSepia(BaseTransform):
+    device_capable = True
+
     _M = np.array([[0.393, 0.769, 0.189],
                    [0.349, 0.686, 0.168],
                    [0.272, 0.534, 0.131]], np.float32)
@@ -798,6 +1109,19 @@ class ToSepia(BaseTransform):
         if image.dtype == np.uint8:
             return np.clip(out, 0, 255).astype(np.uint8)
         return np.clip(out, 0, 1.0)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        imgf = img.astype(jnp.float32)
+        x = imgf @ jnp.asarray(self._M.T)
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        x = jnp.clip(x, 0, 255 if is_int else 1.0)
+        m = _bernoulli_mask(rng, n, self.p)
+        out = jnp.where(m, x, imgf if not is_int else jnp.clip(imgf, 0, 255))
+        batch["image"] = out.astype(img.dtype) if is_int else out
+        return batch
 
 
 # ---------------------- extended photometric/effect ops ----------------------
@@ -931,6 +1255,12 @@ class GlassBlur(BaseTransform):
 
 @TRANSFORMS.register_class
 class Emboss(BaseTransform):
+    device_capable = True
+
+    # kernel = K0 + strength*K1 — two shared convs + a per-sample blend
+    _K0 = np.array([[-1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    _K1 = np.array([[-1, -1, 0], [-1, 0, 1], [0, 1, 1]], np.float32)
+
     def __init__(self, alpha=(0.2, 0.5), strength=(0.2, 0.7),
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -947,9 +1277,35 @@ class Emboss(BaseTransform):
         out = (1 - alpha) * image.astype(np.float32) + alpha * embossed.astype(np.float32)
         return np.clip(out, 0, 255).astype(np.uint8) if image.dtype == np.uint8 else out
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        imgf = img.astype(jnp.float32)
+        r_apply, r_a, r_s = jax.random.split(rng, 3)
+        alpha = jax.random.uniform(r_a, (n, 1, 1, 1),
+                                   minval=self.alpha[0], maxval=self.alpha[1])
+        strength = jax.random.uniform(r_s, (n, 1, 1, 1),
+                                      minval=self.strength[0],
+                                      maxval=self.strength[1])
+        emb = _fixed_filter2d(imgf, self._K0) \
+            + strength * _fixed_filter2d(imgf, self._K1)
+        if is_int:
+            emb = _quantize_u8(emb)  # host filter2D saturates pre-blend
+        x = (1 - alpha) * imgf + alpha * emb
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, imgf)
+        if is_int:
+            out = jnp.clip(out, 0, 255).astype(img.dtype)
+        batch["image"] = out
+        return batch
+
 
 @TRANSFORMS.register_class
 class UnsharpMask(BaseTransform):
+    device_capable = True
+
     def __init__(self, blur_limit=(3, 7), sigma_limit=0.0, alpha=(0.2, 0.5),
                  threshold: int = 10, always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -971,6 +1327,35 @@ class UnsharpMask(BaseTransform):
         sharpened = np.clip(img + alpha * residual, 0, 1)
         out = img * (1 - mask) + sharpened * mask
         return _from_float01(out, was_uint8)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
+        r_apply, r_k, r_sig, r_a = jax.random.split(rng, 4)
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        sigmas = jax.random.uniform(
+            r_sig, (n,), minval=self.sigma_limit[0], maxval=self.sigma_limit[1])
+        alpha = jax.random.uniform(r_a, (n, 1, 1, 1),
+                                   minval=self.alpha[0], maxval=self.alpha[1])
+        kern = _gauss_kernels(radii, sigmas, hi)
+        residual = x - _sep_filter_per_sample(x, kern, kern)
+        mask = (jnp.abs(residual) * 255 > self.threshold).astype(jnp.float32)
+        sharpened = jnp.clip(x + alpha * residual, 0, 1)
+        y = x * (1 - mask) + sharpened * mask
+        if is_int:
+            # host _from_float01 is clip+trunc; rescale BEFORE the p-select
+            # so non-applied samples keep their exact integer values
+            y = jnp.clip(y * 255.0, 0, 255)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, img.astype(jnp.float32) if is_int else x)
+        if is_int:
+            out = out.astype(img.dtype)
+        batch["image"] = out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -1018,6 +1403,8 @@ def _j1_approx(x):
 class FancyPCA(BaseTransform):
     """AlexNet-style PCA color augmentation."""
 
+    device_capable = True
+
     def __init__(self, alpha: float = 0.1, always_apply: bool = False,
                  p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -1031,6 +1418,29 @@ class FancyPCA(BaseTransform):
         evals, evecs = np.linalg.eigh(cov)
         noise = evecs @ (self.rng.normal(0, self.alpha, 3) * evals)
         return _from_float01(img + noise[None, None, :], was_uint8)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, c = img.shape
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
+        flat = x.reshape(n, h * w, c)
+        xc = flat - flat.mean(axis=1, keepdims=True)
+        cov = jnp.einsum("bnc,bnd->bcd", xc, xc) / (h * w - 1)
+        evals, evecs = jnp.linalg.eigh(cov)
+        r_apply, r_n = jax.random.split(rng)
+        coeff = self.alpha * jax.random.normal(r_n, (n, c)) * evals
+        noise = jnp.einsum("bij,bj->bi", evecs, coeff)
+        y = x + noise[:, None, None, :]
+        if is_int:
+            y = jnp.clip(y * 255.0, 0, 255)  # host _from_float01: clip+trunc
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, img.astype(jnp.float32) if is_int else x)
+        if is_int:
+            out = out.astype(img.dtype)
+        batch["image"] = out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -1145,6 +1555,8 @@ class RandomToneCurve(BaseTransform):
 
 @TRANSFORMS.register_class
 class ChannelDropout(BaseTransform):
+    device_capable = True
+
     def __init__(self, channel_drop_range=(1, 1), fill_value=0,
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -1160,6 +1572,24 @@ class ChannelDropout(BaseTransform):
         out = image.copy()
         out[..., drop] = self.fill_value
         return out
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, _, _, c = img.shape
+        r_apply, r_n, r_ch = jax.random.split(rng, 3)
+        n_drop = jax.random.randint(r_n, (n,), self.channel_drop_range[0],
+                                    self.channel_drop_range[1] + 1)
+        n_drop = jnp.minimum(n_drop, c - 1)
+        # rank of each channel in a random order; the n_drop lowest drop
+        rank = jnp.argsort(jnp.argsort(
+            jax.random.uniform(r_ch, (n, c)), axis=1), axis=1)
+        dropm = rank < n_drop[:, None]
+        m = _bernoulli_mask(r_apply, n, self.p)
+        dropm = dropm[:, None, None, :] & m.astype(bool)
+        batch["image"] = jnp.where(
+            dropm, jnp.asarray(self.fill_value, img.dtype), img)
+        return batch
 
 
 @TRANSFORMS.register_class

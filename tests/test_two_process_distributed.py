@@ -91,6 +91,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert r0["world"] == r1["world"] == 2
     assert r0["local_devices"] == 2 and r0["global_devices"] == 4
     assert single["global_devices"] == 4
+    # same optimizer-step count in both topologies (global batch matches)
+    assert r0["global_step"] == r1["global_step"] == single["global_step"]
 
     # both ranks compute the SAME global loss (psum over the global batch)
     assert len(r0["epochs"]) == len(r1["epochs"]) == len(single["epochs"]) == 3

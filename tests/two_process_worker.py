@@ -132,6 +132,7 @@ def main() -> None:
         "world": jax.process_count(),
         "global_devices": len(jax.devices()),
         "local_devices": len(jax.local_devices()),
+        "global_step": int(trainer.global_step),
         "epochs": records,
         "final": {k: float(v) for k, v in trainer.callback_metrics.items()},
     }

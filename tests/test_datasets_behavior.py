@@ -100,8 +100,9 @@ class TestClassificationDataset:
         # input_dtype governs the final image dtype when the pipeline runs
         # fully on host (reference semantics); on the engine's device path
         # the task compute dtype wins (tested in engine tests). A trailing
-        # host-only op (Blur) keeps the whole chain on host.
-        cfg = _TRANSFORM_CFG + [{"name": "Blur", "params": {"p": 1.0}}]
+        # host-only op (GridDropout has no device path) keeps the whole
+        # chain on host.
+        cfg = _TRANSFORM_CFG + [{"name": "GridDropout", "params": {"p": 1.0}}]
         ds = _make("ImageClassificationDataset", data_root, "mc.csv",
                    transform=Constructor._create_transforms(cfg),
                    input_dtype="float16")

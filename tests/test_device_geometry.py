@@ -237,3 +237,178 @@ def test_unsupported_options_stay_on_host():
     assert not Rotate(value=(1, 2, 3)).device_capable
     assert not RandomCrop(8, 8, p=0.5).device_capable
     assert not RandomResizedCrop(8, 8, interpolation=cv2.INTER_CUBIC).device_capable
+
+
+# ----------------- round-4 additions: warp/remap device ops -----------------
+
+def test_affine_device_matches_host_pinned_params():
+    gen = np.random.default_rng(20)
+    from torchok_tpu.data.transforms.spatial import Affine
+    imgs = _img(gen, n=2, h=20, w=26)
+    masks = gen.integers(0, 5, (2, 20, 26)).astype(np.int32)
+    t = Affine(scale=(1.2, 1.2), translate_percent=(0.05, 0.05),
+               rotate=(15.0, 15.0), shear=(5.0, 5.0), p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs),
+                         "mask": jnp.asarray(masks)}, jax.random.PRNGKey(0))
+    for i in range(2):
+        ref = t.apply(imgs[i], sc=1.2, tx=0.05, ty=0.05, ang=15.0, sh=5.0)
+        np.testing.assert_allclose(np.asarray(out["image"][i]), ref,
+                                   atol=0.08)
+        ref_m = t.apply_to_mask(masks[i], sc=1.2, tx=0.05, ty=0.05,
+                                ang=15.0, sh=5.0)
+        mismatch = (np.asarray(out["mask"][i]) != ref_m).mean()
+        assert mismatch < 0.03, mismatch
+
+
+def test_safe_rotate_device_matches_host_pinned_angle():
+    gen = np.random.default_rng(21)
+    from torchok_tpu.data.transforms.spatial import SafeRotate
+    imgs = _img(gen, n=2, h=18, w=30)
+    t = SafeRotate(limit=(37.0, 37.0), p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs)}, jax.random.PRNGKey(1))
+    for i in range(2):
+        ref = t.apply(imgs[i], angle=37.0)
+        np.testing.assert_allclose(np.asarray(out["image"][i]), ref,
+                                   atol=0.08)
+
+
+def test_random_sized_crop_device_matches_host_full_rect():
+    gen = np.random.default_rng(22)
+    from torchok_tpu.data.transforms.spatial import RandomSizedCrop
+    # ch == h and cw == w so the (random) offsets are forced to 0 on both
+    # paths: the op reduces to a deterministic full-frame resize
+    imgs = _img(gen, n=2, h=16, w=20)
+    t = RandomSizedCrop(min_max_height=(16, 16), height=12, width=14,
+                        w2h_ratio=1.25, p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs)}, jax.random.PRNGKey(2))
+    for i in range(2):
+        ref = t.apply(imgs[i], y0=0, x0=0, ch=16, cw=20)
+        np.testing.assert_allclose(np.asarray(out["image"][i]), ref,
+                                   atol=2e-3)
+
+
+def test_gauss_blur_field_matches_cv2_gaussian_blur():
+    gen = np.random.default_rng(23)
+    from torchok_tpu.data.transforms.spatial import _gauss_blur_field
+    field = gen.uniform(-1, 1, (2, 17, 23)).astype(np.float32)
+    ours = np.asarray(_gauss_blur_field(jnp.asarray(field), 9, 3.0))
+    for i in range(2):
+        ref = cv2.GaussianBlur(field[i], (9, 9), 3.0)
+        np.testing.assert_allclose(ours[i], ref, atol=1e-5)
+
+
+def test_gauss_blur_field_radius_larger_than_field():
+    # cv2 mirrors periodically when the kernel exceeds the image; the
+    # take-based pad must agree (jnp.pad(mode='reflect') would raise here)
+    gen = np.random.default_rng(24)
+    from torchok_tpu.data.transforms.spatial import _gauss_blur_field
+    field = gen.uniform(-1, 1, (1, 6, 7)).astype(np.float32)
+    ours = np.asarray(_gauss_blur_field(jnp.asarray(field), 31, 10.0))
+    ref = cv2.GaussianBlur(field[0], (31, 31), 10.0)
+    np.testing.assert_allclose(ours[0], ref, atol=1e-5)
+
+
+def test_elastic_transform_device_zero_alpha_is_identity():
+    gen = np.random.default_rng(25)
+    from torchok_tpu.data.transforms.spatial import ElasticTransform
+    imgs = _img(gen, n=2, h=14, w=18)
+    t = ElasticTransform(alpha=0.0, sigma=3.0, p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs)}, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out["image"]), imgs, atol=1e-5)
+
+
+def test_elastic_transform_device_is_a_bounded_remap():
+    gen = np.random.default_rng(26)
+    from torchok_tpu.data.transforms.spatial import ElasticTransform
+    imgs = _img(gen, n=2, h=20, w=20)
+    t = ElasticTransform(alpha=30.0, sigma=3.0, p=1.0)
+    out = np.asarray(t.apply_batch({"image": jnp.asarray(imgs)},
+                                   jax.random.PRNGKey(4))["image"])
+    # it moved pixels ...
+    assert np.abs(out - imgs).max() > 1e-3
+    # ... but values stay in the source value hull (bilinear interpolation)
+    assert out.min() >= imgs.min() - 1e-5 and out.max() <= imgs.max() + 1e-5
+
+
+def test_grid_distortion_device_matches_host_pinned_limit():
+    gen = np.random.default_rng(27)
+    from torchok_tpu.data.transforms.spatial import GridDistortion
+    # distort_limit pinned to a constant -> host steps are deterministic;
+    # h/w chosen indivisible by num_steps to cover the partial tail segment
+    imgs = _img(gen, n=2, h=23, w=26)
+    masks = gen.integers(0, 7, (2, 23, 26)).astype(np.int32)
+    t = GridDistortion(num_steps=5, distort_limit=(0.3, 0.3), p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs),
+                         "mask": jnp.asarray(masks)}, jax.random.PRNGKey(5))
+    params = t.get_params({"image": imgs[0]})
+    for i in range(2):
+        ref = t.apply(imgs[i], **params)
+        np.testing.assert_allclose(np.asarray(out["image"][i]), ref,
+                                   atol=0.08)
+        ref_m = t.apply_to_mask(masks[i], **params)
+        mismatch = (np.asarray(out["mask"][i]) != ref_m).mean()
+        assert mismatch < 0.03, mismatch
+
+
+def test_optical_distortion_device_matches_host_pinned_params():
+    gen = np.random.default_rng(28)
+    from torchok_tpu.data.transforms.spatial import OpticalDistortion
+    imgs = _img(gen, n=2, h=24, w=32)
+    t = OpticalDistortion(distort_limit=(0.08, 0.08),
+                          shift_limit=(0.03, 0.03), p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs)}, jax.random.PRNGKey(6))
+    params = t.get_params({"image": imgs[0]})
+    for i in range(2):
+        ref = t.apply(imgs[i], **params)
+        np.testing.assert_allclose(np.asarray(out["image"][i]), ref,
+                                   atol=0.08)
+
+
+def test_perspective_device_zero_scale_is_identity():
+    gen = np.random.default_rng(29)
+    from torchok_tpu.data.transforms.spatial import Perspective
+    imgs = _img(gen, n=2, h=15, w=19)
+    t = Perspective(scale=(0.0, 0.0), p=1.0)
+    assert t.device_capable
+    out = t.apply_batch({"image": jnp.asarray(imgs)}, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(out["image"]), imgs, atol=1e-4)
+
+
+def test_perspective_kernel_matches_cv2_warp_perspective():
+    gen = np.random.default_rng(30)
+    from torchok_tpu.ops.warp import (perspective_from_points,
+                                      perspective_sample)
+    img = _img(gen, n=1, h=24, w=32)[0]
+    src = np.float32([[0, 0], [32, 0], [32, 24], [0, 24]])
+    dst = src + gen.uniform(-2.5, 2.5, (4, 2)).astype(np.float32)
+    m_cv = cv2.getPerspectiveTransform(src, dst)
+    m_j = np.asarray(perspective_from_points(jnp.asarray(src[None]),
+                                             jnp.asarray(dst[None])))[0]
+    np.testing.assert_allclose(m_j, m_cv, atol=1e-5)
+    ref = cv2.warpPerspective(img, m_cv, (32, 24), flags=cv2.INTER_LINEAR)
+    ours = np.asarray(perspective_sample(jnp.asarray(img[None]),
+                                         jnp.asarray(m_j[None]), (24, 32)))
+    np.testing.assert_allclose(ours[0], ref, atol=0.08)
+
+
+def test_new_geometry_p_zero_is_identity_on_device():
+    gen = np.random.default_rng(31)
+    from torchok_tpu.data.transforms.spatial import (Affine, ElasticTransform,
+                                                     GridDistortion,
+                                                     OpticalDistortion,
+                                                     Perspective, SafeRotate)
+    imgs = _img(gen, n=2, h=12, w=16)
+    for t in [Affine(rotate=30, p=0.0), SafeRotate(limit=45, p=0.0),
+              ElasticTransform(alpha=30.0, sigma=3.0, p=0.0),
+              GridDistortion(p=0.0), OpticalDistortion(p=0.0),
+              Perspective(p=0.0)]:
+        out = t.apply_batch({"image": jnp.asarray(imgs)},
+                            jax.random.PRNGKey(8))
+        np.testing.assert_allclose(np.asarray(out["image"]), imgs, atol=1e-5,
+                                   err_msg=type(t).__name__)

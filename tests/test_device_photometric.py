@@ -208,3 +208,75 @@ def test_float_images_supported_by_filter_ops():
         out = t.apply_batch({"image": jnp.asarray(img[None])},
                             jax.random.PRNGKey(8))["image"]
         assert np.asarray(out).dtype == np.float32, name
+
+
+# ------------------- round-4c additions: median/flip/from-float -------------
+
+def test_median_blur_device_matches_cv2_fixed_k():
+    t = TRANSFORMS.get("MedianBlur")(blur_limit=(5, 5), p=1.0)
+    img = _img(seed=20)
+    host = cv2.medianBlur(img, 5)
+    np.testing.assert_array_equal(_dev(t, img, seed=9), host)
+
+
+def test_median_blur_device_variable_k_is_some_exact_median():
+    t = TRANSFORMS.get("MedianBlur")(blur_limit=(3, 7), p=1.0)
+    imgs = np.stack([_img(seed=21 + i) for i in range(4)])
+    out = np.asarray(t.apply_batch({"image": jnp.asarray(imgs)},
+                                   jax.random.PRNGKey(10))["image"])
+    for i in range(4):
+        refs = [cv2.medianBlur(imgs[i], k) for k in (3, 5, 7)]
+        assert any(np.array_equal(out[i], r) for r in refs), i
+
+
+def test_median_blur_device_float_images():
+    img = np.random.default_rng(22).random((10, 12, 3)).astype(np.float32)
+    t = TRANSFORMS.get("MedianBlur")(blur_limit=(3, 3), p=1.0)
+    out = _dev(t, img, seed=11)
+    # cv2.medianBlur rejects float32 multi-channel at k>5; pin vs a numpy
+    # median over replicate-padded 3x3 windows instead
+    pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    win = np.stack([pad[dy:dy + 10, dx:dx + 12] for dy in range(3)
+                    for dx in range(3)], axis=-1)
+    np.testing.assert_allclose(out, np.median(win, axis=-1), atol=1e-6)
+
+
+def test_flip_device_outputs_are_flip_variants_with_aligned_mask():
+    t = TRANSFORMS.get("Flip")(p=1.0)
+    assert t.device_capable and not t.device_bbox_safe
+    gen = np.random.default_rng(23)
+    imgs = gen.integers(0, 256, (16, 9, 11, 3), dtype=np.uint8)
+    masks = gen.integers(0, 5, (16, 9, 11)).astype(np.int32)
+    out = t.apply_batch({"image": jnp.asarray(imgs),
+                         "mask": jnp.asarray(masks)}, jax.random.PRNGKey(12))
+    img_out, mask_out = np.asarray(out["image"]), np.asarray(out["mask"])
+    variants_seen = set()
+    for i in range(16):
+        found = None
+        for name, fi, fm in [
+                ("id", imgs[i], masks[i]),
+                ("h", imgs[i, :, ::-1], masks[i, :, ::-1]),
+                ("v", imgs[i, ::-1], masks[i, ::-1]),
+                ("hv", imgs[i, ::-1, ::-1], masks[i, ::-1, ::-1])]:
+            if np.array_equal(img_out[i], fi):
+                found = name
+                np.testing.assert_array_equal(mask_out[i], fm)
+                break
+        assert found is not None, f"sample {i} is not a flip variant"
+        variants_seen.add(found)
+    assert len(variants_seen) > 1  # p=1: codes vary across the batch
+
+
+def test_flip_device_p_zero_is_identity():
+    t = TRANSFORMS.get("Flip")(p=0.0)
+    img = _img(seed=24)
+    np.testing.assert_array_equal(_dev(t, img, seed=13), img)
+
+
+def test_from_float_device_matches_host():
+    t = TRANSFORMS.get("FromFloat")(dtype="uint16")
+    img = np.random.default_rng(25).random((8, 10, 3)).astype(np.float32)
+    host = t.apply(img)
+    dev = _dev(t, img, seed=14)
+    assert dev.dtype == np.uint16
+    np.testing.assert_array_equal(dev, host)

@@ -76,6 +76,45 @@ def _fixed_filter2d(img, kernel):
     return jnp.transpose(y, (0, 2, 3, 1))
 
 
+def _median_filter_per_sample(img, radii, max_r):
+    """Median filter with PER-SAMPLE odd kernel sizes (2*radii+1) over an
+    NHWC batch, cv2.medianBlur semantics (BORDER_REPLICATE).
+
+    One sort serves every per-sample size: the (2*max_r+1)^2 shifted views
+    are stacked, taps outside a sample's radius are replaced by +/- sentinels
+    split evenly between the two tails (the invalid ring is centrally
+    symmetric, so pairing (dy,dx) with (-dy,-dx) splits it exactly in half),
+    which leaves the valid taps' median at the fixed middle index."""
+    b, h, w, c = img.shape
+    k = 2 * max_r + 1
+    if max_r == 0:
+        return img
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        x = img.astype(jnp.int32)
+        lo_s, hi_s = jnp.asarray(-1), jnp.asarray(1 << 20)
+    else:
+        x = img.astype(jnp.float32)
+        lo_s, hi_s = jnp.asarray(-jnp.inf), jnp.asarray(jnp.inf)
+    xp = jnp.pad(x, ((0, 0), (max_r, max_r), (max_r, max_r), (0, 0)),
+                 mode="edge")
+    views, offs = [], []
+    for dy in range(-max_r, max_r + 1):
+        for dx in range(-max_r, max_r + 1):
+            views.append(jax.lax.dynamic_slice(
+                xp, (0, max_r + dy, max_r + dx, 0), (b, h, w, c)))
+            offs.append((dy, dx))
+    st = jnp.stack(views, axis=-1)  # (B, H, W, C, K^2)
+    offs = np.asarray(offs)  # (K^2, 2)
+    ring = np.abs(offs).max(axis=1)  # Chebyshev ring of each tap
+    neg_half = (offs[:, 0] < 0) | ((offs[:, 0] == 0) & (offs[:, 1] < 0))
+    valid = jnp.asarray(ring)[None, :] <= radii[:, None]  # (B, K^2)
+    sentinel = jnp.where(jnp.asarray(neg_half)[None, :], lo_s, hi_s)
+    st = jnp.where(valid[:, None, None, None, :], st,
+                   sentinel[:, None, None, None, :].astype(st.dtype))
+    med = jnp.sort(st, axis=-1)[..., (k * k) // 2]
+    return med.astype(img.dtype)
+
+
 def _box_kernels(radii, max_r):
     """(B,) radii -> (B, 2*max_r+1) normalized box kernels."""
     pos = jnp.abs(jnp.arange(-max_r, max_r + 1))
@@ -238,9 +277,31 @@ class Flip(BaseTransform):
     """Random flip: horizontal, vertical or both."""
 
     geometric = True
+    device_capable = True
+    device_bbox_safe = False
 
     def get_params(self, sample):
         return {"code": int(self.rng.integers(-1, 2))}
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        k_apply, k_code = jax.random.split(rng)
+        m = jax.random.bernoulli(k_apply, self.p, (n,))
+        code = jax.random.randint(k_code, (n,), -1, 2)
+        do_h = m & ((code == 1) | (code == -1))
+        do_v = m & ((code == 0) | (code == -1))
+
+        def flip(x, do, axis):
+            d = do.reshape((n,) + (1,) * (x.ndim - 1))
+            return jnp.where(d, jnp.flip(x, axis), x)
+
+        batch["image"] = flip(flip(img, do_h, 2), do_v, 1)
+        if batch.get("mask") is not None and "mask" in batch:
+            mask = batch["mask"]
+            batch["mask"] = flip(flip(mask, do_h, 2), do_v, 1)
+        return batch
 
     def apply(self, image, code=0, **params):
         return np.ascontiguousarray(cv2.flip(image, code))
@@ -711,6 +772,7 @@ class ToFloat(BaseTransform):
 @TRANSFORMS.register_class
 class FromFloat(BaseTransform):
     always_apply = True
+    device_capable = True
 
     def __init__(self, dtype: str = "uint16", max_value: Optional[float] = None,
                  always_apply: bool = False, p: float = 1.0, **_):
@@ -721,6 +783,13 @@ class FromFloat(BaseTransform):
     def apply(self, image, **params):
         mv = self.max_value or np.iinfo(self.dtype).max
         return (image * mv).astype(self.dtype)
+
+    def apply_batch(self, batch, rng):
+        del rng  # deterministic (always_apply, like the host path)
+        batch = dict(batch)
+        mv = self.max_value or np.iinfo(self.dtype).max
+        batch["image"] = (batch["image"] * mv).astype(self.dtype)
+        return batch
 
 
 # ---------------- filtering / color ops (host cv2 + device) ----------------
@@ -796,6 +865,8 @@ class GaussianBlur(BaseTransform):
 
 @TRANSFORMS.register_class
 class MedianBlur(BaseTransform):
+    device_capable = True
+
     def __init__(self, blur_limit=7, always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
         self.blur_limit = (3, blur_limit) if isinstance(blur_limit, int) else tuple(blur_limit)
@@ -806,6 +877,18 @@ class MedianBlur(BaseTransform):
 
     def apply(self, image, ksize=3, **params):
         return cv2.medianBlur(image, ksize)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        r_apply, r_k = jax.random.split(rng)
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        x = _median_filter_per_sample(img, radii, hi)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, x, img)
+        return batch
 
 
 @TRANSFORMS.register_class

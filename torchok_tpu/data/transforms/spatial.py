@@ -108,6 +108,101 @@ def _device_crop_batch(batch, rects, out_hw):
     return batch
 
 
+def _device_remap_batch(batch, map_x, map_y, applied, interpolation,
+                        border_mode, value=None, mask_value=None):
+    """Remap image (+mask) with per-sample dense coordinate maps on device
+    (the cv2.remap analogue of :func:`_device_warp_batch`). ``map_x``/
+    ``map_y`` are (N, H, W); ``applied`` (N,) bool selects identity."""
+    import jax.numpy as jnp
+
+    from torchok_tpu.ops.warp import remap_sample
+
+    batch = dict(batch)
+    img = batch["image"]
+    border = _DEVICE_BORDERS[border_mode]
+    # cv2.remap's nearest is cvRound (half to even), unlike warpAffine
+    method = "nearest_even" if interpolation == cv2.INTER_NEAREST \
+        else "bilinear"
+    fill = 0.0 if value is None else float(value)
+    x = img.astype(jnp.float32)
+    out = remap_sample(x, map_x, map_y, method, border, fill)
+    if applied is not None:
+        out = jnp.where(applied.reshape(-1, 1, 1, 1), out, x)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+    batch["image"] = out
+
+    if batch.get("mask") is not None and "mask" in batch:
+        mask = batch["mask"]
+        m = mask[..., None] if mask.ndim == 3 else mask
+        mfill = 0.0 if mask_value is None else float(mask_value)
+        mo = remap_sample(m, map_x, map_y, "nearest_even", border, mfill)
+        if applied is not None:
+            mo = jnp.where(applied.reshape(-1, 1, 1, 1), mo, m)
+        batch["mask"] = mo[..., 0] if mask.ndim == 3 else mo
+    return batch
+
+
+def _gauss_blur_field(field, ksize: int, sigma: float):
+    """cv2.GaussianBlur of a (N, H, W) float field with a STATIC
+    ksize/sigma kernel and reflect-101 borders. Padding is take-based so a
+    radius larger than the field (elastic sigma 50 on small crops) keeps
+    cv2's periodic mirror semantics where ``jnp.pad(mode='reflect')`` would
+    fail."""
+    import jax
+    import jax.numpy as jnp
+    r = ksize // 2
+    if r == 0 or sigma <= 0:
+        return field
+    xs = np.arange(ksize, dtype=np.float64) - r
+    k = np.exp(-(xs ** 2) / (2.0 * sigma * sigma))
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+
+    def reflect_take(x, axis):
+        n = x.shape[axis]
+        idx = np.arange(-r, n + r)
+        period = max(2 * (n - 1), 1)
+        idx = np.abs(idx) % period
+        idx = np.where(idx >= n, period - idx, idx)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+    x = field[:, None]  # (N, 1, H, W)
+    x = reflect_take(x, 2)
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1),
+                                     "VALID")
+    x = reflect_take(x, 3)
+    x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1),
+                                     "VALID")
+    return x[:, 0]
+
+
+def _device_perspective_batch(batch, mats, out_hw, applied, interpolation):
+    """Projective warp of image (+mask) with per-sample SRC->DST 3x3 mats
+    (cv2.warpPerspective defaults: constant-0 border)."""
+    import jax.numpy as jnp
+
+    from torchok_tpu.ops.warp import perspective_sample
+
+    batch = dict(batch)
+    img = batch["image"]
+    method = "nearest" if interpolation == cv2.INTER_NEAREST else "bilinear"
+    x = img.astype(jnp.float32)
+    out = perspective_sample(x, mats, out_hw, method, "constant", 0.0)
+    if applied is not None:
+        out = jnp.where(applied.reshape(-1, 1, 1, 1), out, x)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+    batch["image"] = out
+    if batch.get("mask") is not None and "mask" in batch:
+        mask = batch["mask"]
+        m = mask[..., None] if mask.ndim == 3 else mask
+        mo = perspective_sample(m, mats, out_hw, "nearest", "constant", 0.0)
+        if applied is not None:
+            mo = jnp.where(applied.reshape(-1, 1, 1, 1), mo, m)
+        batch["mask"] = mo[..., 0] if mask.ndim == 3 else mo
+    return batch
+
+
 # ------------------------------ bbox helpers ------------------------------
 # Boxes are pixel pascal_voc xyxy rows; transforms keep row alignment with
 # the labels (clip, never drop) — degenerate boxes are filtered by the
@@ -775,6 +870,30 @@ class ElasticTransform(BaseTransform):
         self.interpolation = interpolation
         self.border_mode = border_mode
 
+    device_needs_uniform = True
+
+    @property
+    def device_capable(self):
+        return (self.interpolation in _DEVICE_INTERPS
+                and self.border_mode in _DEVICE_BORDERS)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_dx, k_dy, k_p = jax.random.split(rng, 3)
+        dx = jax.random.uniform(k_dx, (n, h, w), minval=-1.0, maxval=1.0)
+        dy = jax.random.uniform(k_dy, (n, h, w), minval=-1.0, maxval=1.0)
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        ksize = int(3 * self.sigma) | 1
+        dx = _gauss_blur_field(dx, ksize, self.sigma) * self.alpha
+        dy = _gauss_blur_field(dy, ksize, self.sigma) * self.alpha
+        xs, ys = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                              jnp.arange(h, dtype=jnp.float32))
+        return _device_remap_batch(batch, xs + dx, ys + dy, applied,
+                                   self.interpolation, self.border_mode)
+
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
         dx = self.rng.uniform(-1, 1, (h, w)).astype(np.float32)
@@ -810,6 +929,53 @@ class GridDistortion(BaseTransform):
             if isinstance(distort_limit, (int, float)) else tuple(distort_limit)
         self.interpolation = interpolation
         self.border_mode = border_mode
+
+    device_needs_uniform = True
+
+    @property
+    def device_capable(self):
+        return (self.interpolation in _DEVICE_INTERPS
+                and self.border_mode in _DEVICE_BORDERS
+                and self.num_steps >= 1)
+
+    def _device_axis_maps(self, rng, n: int, size: int):
+        """Vectorized :meth:`_axis_map`: per-sample (N, size) coordinate
+        rows. Segment i spans [i*step, min((i+1)*step, size)); within it the
+        host linspace is prev_i + step*steps[i] * offset/len(segment)."""
+        import jax
+        import jax.numpy as jnp
+        s = self.num_steps
+        steps = 1 + jax.random.uniform(rng, (n, s + 1),
+                                       minval=self.distort_limit[0],
+                                       maxval=self.distort_limit[1])
+        step = size // s
+        if step == 0:  # degenerate (size < num_steps); identity like host
+            return jnp.broadcast_to(jnp.arange(size, dtype=jnp.float32),
+                                    (n, size))
+        j = np.arange(size)
+        i = np.minimum(j // step, s)
+        off = (j - i * step).astype(np.float32)
+        seg_len = np.maximum(np.minimum((i + 1) * step, size) - i * step,
+                             1).astype(np.float32)
+        prev = step * jnp.cumsum(steps, axis=1)
+        prev = jnp.concatenate([jnp.zeros((n, 1), prev.dtype),
+                                prev[:, :-1]], axis=1)
+        i = jnp.asarray(i)
+        return prev[:, i] + step * steps[:, i] * jnp.asarray(off / seg_len)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_x, k_y, k_p = jax.random.split(rng, 3)
+        xs = self._device_axis_maps(k_x, n, w)  # (N, W)
+        ys = self._device_axis_maps(k_y, n, h)  # (N, H)
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        map_x = jnp.broadcast_to(xs[:, None, :], (n, h, w))
+        map_y = jnp.broadcast_to(ys[:, :, None], (n, h, w))
+        return _device_remap_batch(batch, map_x, map_y, applied,
+                                   self.interpolation, self.border_mode)
 
     def _axis_map(self, size: int) -> np.ndarray:
         steps = 1 + self.rng.uniform(*self.distort_limit, self.num_steps + 1)
@@ -860,6 +1026,45 @@ class OpticalDistortion(BaseTransform):
         self.interpolation = interpolation
         self.border_mode = border_mode
 
+    device_needs_uniform = True
+
+    @property
+    def device_capable(self):
+        return (self.interpolation in _DEVICE_INTERPS
+                and self.border_mode in _DEVICE_BORDERS)
+
+    def apply_batch(self, batch, rng):
+        """Closed-form cv2.initUndistortRectifyMap for the (k, k, 0, 0, 0)
+        radial model the host path uses: normalize dest pixel by the camera
+        matrix, apply forward distortion, project back."""
+        import jax
+        import jax.numpy as jnp
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_k, k_dx, k_dy, k_p = jax.random.split(rng, 4)
+        k = jax.random.uniform(k_k, (n, 1, 1), minval=self.distort_limit[0],
+                               maxval=self.distort_limit[1])
+        dx = jax.random.uniform(k_dx, (n, 1, 1), minval=self.shift_limit[0],
+                                maxval=self.shift_limit[1]) * w
+        dy = jax.random.uniform(k_dy, (n, 1, 1), minval=self.shift_limit[0],
+                                maxval=self.shift_limit[1]) * h
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        cx, cy = w / 2 + dx, h / 2 + dy
+        gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                              jnp.arange(h, dtype=jnp.float32))
+        # initUndistortRectifyMap with newCameraMatrix=None rectifies
+        # through getDefaultNewCameraMatrix(cam, size, True): fx'=w, fy'=h,
+        # principal point recentred to ((w-1)/2, (h-1)/2); the distorted
+        # projection then goes back through the ORIGINAL (shifted) center.
+        x = (gx[None] - (w - 1) * 0.5) / w
+        y = (gy[None] - (h - 1) * 0.5) / h
+        r2 = x * x + y * y
+        radial = 1.0 + k * r2 + k * r2 * r2
+        map_x = x * radial * w + cx
+        map_y = y * radial * h + cy
+        return _device_remap_batch(batch, map_x, map_y, applied,
+                                   self.interpolation, self.border_mode)
+
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
         k = float(self.rng.uniform(*self.distort_limit))
@@ -887,6 +1092,34 @@ class Perspective(BaseTransform):
         super().__init__(always_apply, p)
         self.scale = (0, scale) if isinstance(scale, (int, float)) else tuple(scale)
         self.interpolation = interpolation
+
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    @property
+    def device_capable(self):
+        return self.interpolation in _DEVICE_INTERPS
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from torchok_tpu.ops.warp import perspective_from_points
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_s, k_j, k_p = jax.random.split(rng, 3)
+        s = jax.random.uniform(k_s, (n, 1, 1), minval=self.scale[0],
+                               maxval=self.scale[1])
+        jitter = jax.random.uniform(k_j, (n, 4, 2), minval=-1.0,
+                                    maxval=1.0) * s
+        jitter = jitter * jnp.asarray([w, h], jnp.float32)
+        src = jnp.broadcast_to(
+            jnp.asarray([[0, 0], [w, 0], [w, h], [0, h]], jnp.float32),
+            (n, 4, 2))
+        mats = perspective_from_points(src, src + jitter)
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        return _device_perspective_batch(batch, mats, (h, w), applied,
+                                         self.interpolation)
 
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
@@ -932,6 +1165,44 @@ class Affine(BaseTransform):
         self.rotate = _pair(rotate, (0.0, 0.0))
         self.shear = _pair(shear, (0.0, 0.0))
         self.interpolation = interpolation
+
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    @property
+    def device_capable(self):
+        return self.interpolation in _DEVICE_INTERPS
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from torchok_tpu.ops.warp import invert_affine, rotation_mats
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_sc, k_tx, k_ty, k_ang, k_sh, k_p = jax.random.split(rng, 6)
+        sc = jax.random.uniform(k_sc, (n,), minval=self.scale[0],
+                                maxval=self.scale[1])
+        tx = jax.random.uniform(k_tx, (n,), minval=self.translate[0],
+                                maxval=self.translate[1])
+        ty = jax.random.uniform(k_ty, (n,), minval=self.translate[0],
+                                maxval=self.translate[1])
+        ang = jax.random.uniform(k_ang, (n,), minval=self.rotate[0],
+                                 maxval=self.rotate[1])
+        sh = jax.random.uniform(k_sh, (n,), minval=self.shear[0],
+                                maxval=self.shear[1])
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        mats = rotation_mats(ang, sc, (w / 2, h / 2))
+        # host _matrix: translation adds to m[:, 2], shear adds to m[0, 1]
+        shear_col = jnp.stack([jnp.tan(jnp.deg2rad(sh)),
+                               jnp.zeros_like(sh)], -1)
+        mats = mats.at[:, :, 1].add(shear_col)
+        trans = jnp.stack([tx * w, ty * h], -1)
+        mats = mats.at[:, :, 2].add(trans)
+        # cv2.warpAffine default border: constant 0 (host apply passes none)
+        return _device_warp_batch(batch, invert_affine(mats), (h, w),
+                                  applied, self.interpolation,
+                                  cv2.BORDER_CONSTANT, None, None)
 
     def get_params(self, sample):
         return {
@@ -984,6 +1255,33 @@ class RandomSizedCrop(BaseTransform):
         self.height, self.width = height, width
         self.w2h_ratio = w2h_ratio
         self.interpolation = interpolation
+
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    @property
+    def device_capable(self):
+        # mirrors RandomResizedCrop: unconditional application and the
+        # bilinear crop-resize kernel only
+        return self.p >= 1.0 and self.interpolation == cv2.INTER_LINEAR
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_h, k_y, k_x = jax.random.split(rng, 3)
+        ch = jax.random.randint(k_h, (n,), self.min_max_height[0],
+                                self.min_max_height[1] + 1)
+        cw = jnp.minimum(jnp.round(ch * self.w2h_ratio), w)
+        ch = jnp.minimum(ch, h).astype(jnp.float32)
+        cw = cw.astype(jnp.float32)
+        uy = jax.random.uniform(k_y, (n,))
+        ux = jax.random.uniform(k_x, (n,))
+        y0 = jnp.floor(uy * (h - ch + 1))
+        x0 = jnp.floor(ux * (w - cw + 1))
+        rects = jnp.stack([y0, x0, ch, cw], -1)
+        return _device_crop_batch(batch, rects, (self.height, self.width))
 
     def get_params(self, sample):
         h, w = sample["image"].shape[:2]
@@ -1314,6 +1612,37 @@ class SafeRotate(BaseTransform):
         self.border_mode = border_mode
         self.value = value
         self.mask_value = mask_value
+
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    @property
+    def device_capable(self):
+        return (self.interpolation in _DEVICE_INTERPS
+                and self.border_mode in _DEVICE_BORDERS
+                and _scalar_or_none(self.value)
+                and _scalar_or_none(self.mask_value))
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from torchok_tpu.ops.warp import invert_affine, rotation_mats
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        k_ang, k_p = jax.random.split(rng)
+        angles = jax.random.uniform(k_ang, (n,), minval=self.limit[0],
+                                    maxval=self.limit[1])
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        rad = jnp.deg2rad(angles)
+        new_w = jnp.abs(w * jnp.cos(rad)) + jnp.abs(h * jnp.sin(rad))
+        new_h = jnp.abs(w * jnp.sin(rad)) + jnp.abs(h * jnp.cos(rad))
+        scales = jnp.minimum(w / new_w, h / new_h)
+        mats = rotation_mats(angles, scales, (w / 2 - 0.5, h / 2 - 0.5))
+        return _device_warp_batch(batch, invert_affine(mats), (h, w),
+                                  applied, self.interpolation,
+                                  self.border_mode, self.value,
+                                  self.mask_value)
 
     def get_params(self, sample):
         return {"angle": float(self.rng.uniform(*self.limit))}

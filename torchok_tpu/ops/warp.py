@@ -64,10 +64,20 @@ def _gather2d(img, iy, ix, border, fill):
 
 
 def _sample_one(img, src_x, src_y, method, border, fill):
-    """img (H, W, C); src_x/src_y f32 (Ho, Wo) -> (Ho, Wo, C)."""
-    if method == "nearest":
-        ix = jnp.floor(src_x + 0.5).astype(jnp.int32)
-        iy = jnp.floor(src_y + 0.5).astype(jnp.int32)
+    """img (H, W, C); src_x/src_y f32 (Ho, Wo) -> (Ho, Wo, C).
+
+    Two nearest conventions, matching cv2's own split: ``nearest`` rounds
+    half-up in the sampling direction (warpAffine's fixed-point
+    ``floor(x+0.5)``), ``nearest_even`` rounds half to even (remap's
+    ``cvRound``) — coordinate maps with exact .5 values (GridDistortion)
+    need the latter for mask parity."""
+    if method in ("nearest", "nearest_even"):
+        if method == "nearest":
+            ix = jnp.floor(src_x + 0.5).astype(jnp.int32)
+            iy = jnp.floor(src_y + 0.5).astype(jnp.int32)
+        else:
+            ix = jnp.round(src_x).astype(jnp.int32)
+            iy = jnp.round(src_y).astype(jnp.int32)
         return _gather2d(img, iy, ix, border, fill)
     x0 = jnp.floor(src_x)
     y0 = jnp.floor(src_y)
@@ -172,3 +182,65 @@ def crop_resize_sample(images: jnp.ndarray, rects: jnp.ndarray,
         return _sample_one(img, src_x, src_y, method, "replicate", 0.0)
 
     return jax.vmap(one)(images, rects)
+
+
+def remap_sample(images: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
+                 method: str = "bilinear", border: str = "reflect101",
+                 fill: float = 0.0) -> jnp.ndarray:
+    """cv2.remap semantics with per-sample dense maps.
+
+    images (N, H, W, C); map_x/map_y (N, Ho, Wo) give, for every output
+    pixel, the source coordinate to sample: out[n, v, u] =
+    images[n, map_y[n, v, u], map_x[n, v, u]] (bilinear or nearest). This is
+    the device kernel behind ElasticTransform / GridDistortion /
+    OpticalDistortion (host path: cv2.remap, reference surface
+    torchok/data/transforms/__init__.py)."""
+
+    def one(img, mx, my):
+        return _sample_one(img, mx, my, method, border, fill)
+
+    return jax.vmap(one)(images, map_x, map_y)
+
+
+def perspective_from_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample cv2.getPerspectiveTransform: 4 point pairs -> (N, 3, 3)
+    homographies M with dst ~ M @ src (homogeneous).
+
+    src/dst are (N, 4, 2) corner coordinates. Solves the standard 8x8
+    linear system per sample (f32; adequate for augmentation-scale jitter).
+    """
+    n = src.shape[0]
+    x, y = src[..., 0], src[..., 1]          # (N, 4)
+    u, v = dst[..., 0], dst[..., 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    # rows for u: [x y 1 0 0 0 -x*u -y*u] ; rows for v: [0 0 0 x y 1 -x*v -y*v]
+    ru = jnp.stack([x, y, ones, zeros, zeros, zeros, -x * u, -y * u], -1)
+    rv = jnp.stack([zeros, zeros, zeros, x, y, ones, -x * v, -y * v], -1)
+    a = jnp.concatenate([ru, rv], axis=1)    # (N, 8, 8)
+    b = jnp.concatenate([u, v], axis=1)      # (N, 8)
+    h = jnp.linalg.solve(a, b[..., None])[..., 0]
+    h = jnp.concatenate([h, jnp.ones((n, 1), h.dtype)], axis=1)
+    return h.reshape(n, 3, 3)
+
+
+def perspective_sample(images: jnp.ndarray, mats: jnp.ndarray,
+                       out_hw: Tuple[int, int], method: str = "bilinear",
+                       border: str = "constant",
+                       fill: float = 0.0) -> jnp.ndarray:
+    """cv2.warpPerspective semantics: ``mats`` (N, 3, 3) map SRC->DST and are
+    inverted internally for sampling (cv2's default, no WARP_INVERSE_MAP).
+    cv2's default border for warpPerspective is constant-0."""
+    ho, wo = out_hw
+    xs = jnp.arange(wo, dtype=jnp.float32)
+    ys = jnp.arange(ho, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (Ho, Wo)
+    inv = jnp.linalg.inv(mats.astype(jnp.float32))
+
+    def one(img, m):
+        denom = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
+        src_x = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / denom
+        src_y = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / denom
+        return _sample_one(img, src_x, src_y, method, border, fill)
+
+    return jax.vmap(one)(images, inv)

@@ -10,6 +10,14 @@ EfficientNet's copies are hundreds of KB-scale depthwise/BN tensors rather
 than MB-scale dense convs, so the prefetch-overlap penalty and the
 bytes-halved win can land differently. Measure, don't extrapolate.
 
+MEASURED (2026-08-19, tunneled v5e): efficientnet_b0 4353 -> 4045 img/s
+(-7.1%), mobilenetv3_large_100 7046 -> 6401 img/s (-9.2%). Same mechanism
+as ResNet: the step-start cast fusion depends on the previous scan
+iteration's optimizer update, so cross-iteration weight prefetch no longer
+overlaps tail compute — and it costs MORE here because these models' many
+small weight tensors lean harder on prefetch overlap. The per-module
+cast-at-use pattern stays the right default for every CNN family probed.
+
 Run ON TPU:  python tools/probe_effnet_levers.py
 """
 import functools

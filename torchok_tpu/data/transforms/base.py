@@ -137,8 +137,15 @@ class Compose(BaseTransform):
         geometry-preserving device ops may move to the device; shape-changing
         batched ops (Resize) move only for uniform-size datasets."""
         def ok(t):
+            # A geometric op with no bbox handler must NOT move to the device
+            # in bbox mode regardless of its device_bbox_safe flag: the host
+            # path raises loudly (geometric guard in __call__) while the
+            # device path would silently warp pixels under untouched GT boxes.
+            bbox_ok = t.device_bbox_safe and not (
+                t.geometric
+                and type(t).apply_to_bboxes is BaseTransform.apply_to_bboxes)
             return (t.device_capable
-                    and (not bbox_mode or t.device_bbox_safe)
+                    and (not bbox_mode or bbox_ok)
                     and (uniform_shapes or not t.device_needs_uniform))
         split = len(self.transforms)
         while split > 0 and ok(self.transforms[split - 1]):

@@ -28,6 +28,22 @@ def _bernoulli_mask(rng, batch_size: int, p: float):
     return m.reshape((batch_size,) + (1,) * 3)
 
 
+def _reflect101_pad(x, axis, r):
+    """Reflect-101 (cv2 BORDER_DEFAULT) padding by ``r`` on both sides of one
+    axis. Take-based periodic mirror, so radii larger than the axis keep
+    cv2's wrap-around semantics where ``jnp.pad(mode='reflect')`` raises
+    (elastic sigma 50 on small crops, big blurs on thumbnails).
+    Coordinate-space twin: torchok_tpu/ops/warp.py::_reflect101."""
+    if r == 0:
+        return x
+    n = x.shape[axis]
+    idx = np.arange(-r, n + r)
+    period = max(2 * (n - 1), 1)
+    idx = np.abs(idx) % period
+    idx = np.where(idx >= n, period - idx, idx)
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
 def _sep_filter_per_sample(img, kh, kw):
     """Separable depthwise filtering with PER-SAMPLE 1D kernels and
     reflect-101 borders (cv2's BORDER_DEFAULT), over an NHWC f32 batch.
@@ -43,9 +59,7 @@ def _sep_filter_per_sample(img, kh, kw):
         r = (k.shape[1] - 1) // 2
         if r == 0:
             continue
-        pad = [(0, 0)] * 4
-        pad[axis] = (r, r)
-        x = jnp.pad(out, pad, mode="reflect")
+        x = _reflect101_pad(out, axis, r)
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(
             1, b * c, x.shape[1], x.shape[2])
         rhs = jnp.broadcast_to(k[:, None, :].astype(jnp.float32),
@@ -65,8 +79,7 @@ def _fixed_filter2d(img, kernel):
     kernel = jnp.asarray(kernel, jnp.float32)
     kh, kw = kernel.shape
     c = img.shape[3]
-    x = jnp.pad(img, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
-                mode="reflect")
+    x = _reflect101_pad(_reflect101_pad(img, 1, kh // 2), 2, kw // 2)
     x = jnp.transpose(x, (0, 3, 1, 2))
     rhs = jnp.broadcast_to(kernel[None, None], (c, 1, kh, kw))
     y = jax.lax.conv_general_dilated(
@@ -91,7 +104,10 @@ def _median_filter_per_sample(img, radii, max_r):
         return img
     if jnp.issubdtype(img.dtype, jnp.integer):
         x = img.astype(jnp.int32)
-        lo_s, hi_s = jnp.asarray(-1), jnp.asarray(1 << 20)
+        # sentinels must sit strictly outside ANY image dtype's value range
+        # (int16 images carry values below -1) so invalid taps sort to the
+        # tails, never into the middle of the valid values
+        lo_s, hi_s = jnp.asarray(-(1 << 20)), jnp.asarray(1 << 20)
     else:
         x = img.astype(jnp.float32)
         lo_s, hi_s = jnp.asarray(-jnp.inf), jnp.asarray(jnp.inf)
@@ -156,6 +172,21 @@ def _quantize_u8(x):
     """Float -> uint8-valued float with cv2-style saturate (round-half-up is
     within 1 LSB of cvRound's half-to-even; parity tests use atol 1)."""
     return jnp.floor(jnp.clip(x, 0, 255) + 0.5)
+
+
+def _saturate_int(x, dtype, round_half_up=False):
+    """cv2-style saturate_cast of a float result to an integer image dtype.
+
+    cv2 filtering/warping preserves the input dtype and saturates to ITS
+    range (uint16 -> [0, 65535], int16 -> [-32768, 32767]) — clamping to
+    [0, 255] is only correct for uint8. ``round_half_up`` matches cvRound
+    within 1 LSB; without it the cast truncates (np.clip().astype parity).
+    """
+    info = np.iinfo(np.dtype(dtype))
+    x = jnp.clip(x, info.min, info.max)
+    if round_half_up:
+        x = jnp.floor(x + 0.5)
+    return x.astype(dtype)
 
 
 @TRANSFORMS.register_class
@@ -352,7 +383,7 @@ class RandomBrightnessContrast(BaseTransform):
         img = batch["image"]
         n = img.shape[0]
         r_apply, r_alpha, r_beta = jax.random.split(rng, 3)
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         max_value = 255.0 if is_int else 1.0
         x = img.astype(jnp.float32)
         alpha = 1.0 + jax.random.uniform(r_alpha, (n, 1, 1, 1),
@@ -415,7 +446,7 @@ class GaussNoise(BaseTransform):
         x = img.astype(jnp.float32) + noise
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, img.astype(jnp.float32))
-        if jnp.issubdtype(img.dtype, jnp.integer):
+        if img.dtype == jnp.uint8:  # host clips+casts uint8 only; other dtypes stay float
             out = jnp.clip(out, 0, 255).astype(img.dtype)
         batch["image"] = out
         return batch
@@ -484,7 +515,7 @@ class ColorJitter(BaseTransform):
         img = batch["image"]
         n = img.shape[0]
         ra, rb, rc, rs, rh = jax.random.split(rng, 5)
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         max_value = 255.0 if is_int else 1.0
         shape = (n, 1, 1, 1)
         fb = jax.random.uniform(rb, shape, minval=self.brightness[0], maxval=self.brightness[1])
@@ -580,7 +611,7 @@ class InvertImg(BaseTransform):
     def apply_batch(self, batch, rng):
         batch = dict(batch)
         img = batch["image"]
-        max_value = 255 if jnp.issubdtype(img.dtype, jnp.integer) else 1.0
+        max_value = 255 if img.dtype == jnp.uint8 else 1.0
         m = _bernoulli_mask(rng, img.shape[0], self.p)
         batch["image"] = jnp.where(m, max_value - img, img)
         return batch
@@ -630,7 +661,7 @@ class RandomGamma(BaseTransform):
         gamma = jax.random.uniform(r_gamma, (n, 1, 1, 1),
                                    minval=self.gamma_limit[0] / 100.0,
                                    maxval=self.gamma_limit[1] / 100.0)
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
         out = jnp.power(jnp.maximum(x, 1e-12), gamma)
         m = _bernoulli_mask(r_apply, n, self.p)
@@ -656,7 +687,7 @@ class Solarize(BaseTransform):
     def apply_batch(self, batch, rng):
         batch = dict(batch)
         img = batch["image"]
-        max_value = 255 if jnp.issubdtype(img.dtype, jnp.integer) else 1.0
+        max_value = 255 if img.dtype == jnp.uint8 else 1.0
         sol = jnp.where(img >= self.threshold, max_value - img, img)
         m = _bernoulli_mask(rng, img.shape[0], self.p)
         batch["image"] = jnp.where(m, sol, img)
@@ -741,7 +772,7 @@ class RGBShift(BaseTransform):
         x = img.astype(jnp.float32) + shifts
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, img.astype(jnp.float32))
-        if jnp.issubdtype(img.dtype, jnp.integer):
+        if img.dtype == jnp.uint8:  # host clips+casts uint8 only; other dtypes stay float
             out = jnp.clip(out, 0, 255).astype(img.dtype)
         batch["image"] = out
         return batch
@@ -764,7 +795,7 @@ class ToFloat(BaseTransform):
     def apply_batch(self, batch, rng):
         batch = dict(batch)
         img = batch["image"]
-        mv = self.max_value or (255.0 if jnp.issubdtype(img.dtype, jnp.integer) else 1.0)
+        mv = self.max_value or (255.0 if img.dtype == jnp.uint8 else 1.0)
         batch["image"] = img.astype(jnp.float32) / mv
         return batch
 
@@ -821,7 +852,7 @@ class Blur(BaseTransform):
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, img.astype(jnp.float32))
         if jnp.issubdtype(img.dtype, jnp.integer):
-            out = _quantize_u8(out).astype(img.dtype)
+            out = _saturate_int(out, img.dtype, round_half_up=True)
         batch["image"] = out
         return batch
 
@@ -858,7 +889,7 @@ class GaussianBlur(BaseTransform):
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, img.astype(jnp.float32))
         if jnp.issubdtype(img.dtype, jnp.integer):
-            out = _quantize_u8(out).astype(img.dtype)
+            out = _saturate_int(out, img.dtype, round_half_up=True)
         batch["image"] = out
         return batch
 
@@ -927,7 +958,7 @@ class MotionBlur(BaseTransform):
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, img.astype(jnp.float32))
         if jnp.issubdtype(img.dtype, jnp.integer):
-            out = _quantize_u8(out).astype(img.dtype)
+            out = _saturate_int(out, img.dtype, round_half_up=True)
         batch["image"] = out
         return batch
 
@@ -963,7 +994,7 @@ class Equalize(BaseTransform):
     def apply_batch(self, batch, rng):
         batch = dict(batch)
         img = batch["image"]
-        if not jnp.issubdtype(img.dtype, jnp.integer):
+        if img.dtype != jnp.uint8:
             raise TypeError("Equalize expects uint8 images; "
                             "place it before ToFloat")
         n, h, w, c = img.shape
@@ -1046,7 +1077,7 @@ class HueSaturationValue(BaseTransform):
     def apply_batch(self, batch, rng):
         batch = dict(batch)
         img = batch["image"]
-        if not jnp.issubdtype(img.dtype, jnp.integer):
+        if img.dtype != jnp.uint8:
             raise TypeError("HueSaturationValue expects uint8 images "
                             "(cv2 HSV parity); place it before ToFloat")
         n = img.shape[0]
@@ -1167,13 +1198,15 @@ class Sharpen(BaseTransform):
         base = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float32)
         sharp = _fixed_filter2d(imgf, base) + light * imgf
         if is_int:
-            # host filter2D on uint8 saturates BEFORE the blend
-            sharp = _quantize_u8(sharp)
+            # host filter2D saturates to the INPUT dtype's range pre-blend
+            sharp = _saturate_int(sharp, img.dtype,
+                                  round_half_up=True).astype(jnp.float32)
         x = (1 - alpha) * imgf + alpha * sharp
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, imgf)
-        if is_int:
-            # host blend ends in np.clip(...).astype(uint8): truncation
+        if img.dtype == jnp.uint8:
+            # host blend ends in np.clip(...).astype(uint8): truncation;
+            # non-uint8 dtypes stay float like the host path
             out = jnp.clip(out, 0, 255).astype(img.dtype)
         batch["image"] = out
         return batch
@@ -1199,7 +1232,7 @@ class ToSepia(BaseTransform):
         n = img.shape[0]
         imgf = img.astype(jnp.float32)
         x = imgf @ jnp.asarray(self._M.T)
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         x = jnp.clip(x, 0, 255 if is_int else 1.0)
         m = _bernoulli_mask(rng, n, self.p)
         out = jnp.where(m, x, imgf if not is_int else jnp.clip(imgf, 0, 255))
@@ -1375,11 +1408,14 @@ class Emboss(BaseTransform):
         emb = _fixed_filter2d(imgf, self._K0) \
             + strength * _fixed_filter2d(imgf, self._K1)
         if is_int:
-            emb = _quantize_u8(emb)  # host filter2D saturates pre-blend
+            # host filter2D saturates to the INPUT dtype's range pre-blend
+            emb = _saturate_int(emb, img.dtype,
+                                round_half_up=True).astype(jnp.float32)
         x = (1 - alpha) * imgf + alpha * emb
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, imgf)
-        if is_int:
+        if img.dtype == jnp.uint8:
+            # non-uint8 dtypes stay float like the host path
             out = jnp.clip(out, 0, 255).astype(img.dtype)
         batch["image"] = out
         return batch
@@ -1415,7 +1451,7 @@ class UnsharpMask(BaseTransform):
         batch = dict(batch)
         img = batch["image"]
         n = img.shape[0]
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
         r_apply, r_k, r_sig, r_a = jax.random.split(rng, 4)
         lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
@@ -1506,7 +1542,7 @@ class FancyPCA(BaseTransform):
         batch = dict(batch)
         img = batch["image"]
         n, h, w, c = img.shape
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
         flat = x.reshape(n, h * w, c)
         xc = flat - flat.mean(axis=1, keepdims=True)
@@ -1586,7 +1622,7 @@ class MultiplicativeNoise(BaseTransform):
         x = img.astype(jnp.float32) * mult
         m = _bernoulli_mask(r_apply, n, self.p)
         out = jnp.where(m, x, img.astype(jnp.float32))
-        if jnp.issubdtype(img.dtype, jnp.integer):
+        if img.dtype == jnp.uint8:  # host clips+casts uint8 only; other dtypes stay float
             out = jnp.clip(out, 0, 255).astype(img.dtype)
         batch["image"] = out
         return batch
@@ -1620,7 +1656,7 @@ class RandomToneCurve(BaseTransform):
         batch = dict(batch)
         img = batch["image"]
         n = img.shape[0]
-        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        is_int = img.dtype == jnp.uint8  # host semantics branch on uint8, not any int
         x = img.astype(jnp.float32) / (255.0 if is_int else 1.0)
         r_apply, r_low, r_high = jax.random.split(rng, 3)
         low = jnp.clip(0.25 + self.scale * jax.random.normal(r_low, (n, 1, 1, 1)), 0, 1)

@@ -23,6 +23,7 @@ import numpy as np
 
 from torchok_tpu.constructor import TRANSFORMS
 from torchok_tpu.data.transforms.base import BaseTransform
+from torchok_tpu.data.transforms.pixelwise import _saturate_int
 
 _INTERP = cv2.INTER_LINEAR
 
@@ -70,7 +71,7 @@ def _device_warp_batch(batch, inv_mats, out_hw, applied, interpolation,
     if applied is not None:
         out = jnp.where(applied.reshape(-1, 1, 1, 1), out, x)
     if not jnp.issubdtype(img.dtype, jnp.floating):
-        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+        out = _saturate_int(out, img.dtype, round_half_up=True)
     batch["image"] = out
 
     if batch.get("mask") is not None and "mask" in batch:
@@ -98,7 +99,7 @@ def _device_crop_batch(batch, rects, out_hw):
     x = img.astype(jnp.float32)
     out = crop_resize_sample(x, rects, out_hw, "bilinear", "replicate")
     if not jnp.issubdtype(img.dtype, jnp.floating):
-        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+        out = _saturate_int(out, img.dtype, round_half_up=True)
     batch["image"] = out
     if batch.get("mask") is not None and "mask" in batch:
         mask = batch["mask"]
@@ -129,7 +130,7 @@ def _device_remap_batch(batch, map_x, map_y, applied, interpolation,
     if applied is not None:
         out = jnp.where(applied.reshape(-1, 1, 1, 1), out, x)
     if not jnp.issubdtype(img.dtype, jnp.floating):
-        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+        out = _saturate_int(out, img.dtype, round_half_up=True)
     batch["image"] = out
 
     if batch.get("mask") is not None and "mask" in batch:
@@ -151,6 +152,9 @@ def _gauss_blur_field(field, ksize: int, sigma: float):
     fail."""
     import jax
     import jax.numpy as jnp
+
+    from torchok_tpu.data.transforms.pixelwise import _reflect101_pad
+
     r = ksize // 2
     if r == 0 or sigma <= 0:
         return field
@@ -158,19 +162,11 @@ def _gauss_blur_field(field, ksize: int, sigma: float):
     k = np.exp(-(xs ** 2) / (2.0 * sigma * sigma))
     k = jnp.asarray(k / k.sum(), jnp.float32)
 
-    def reflect_take(x, axis):
-        n = x.shape[axis]
-        idx = np.arange(-r, n + r)
-        period = max(2 * (n - 1), 1)
-        idx = np.abs(idx) % period
-        idx = np.where(idx >= n, period - idx, idx)
-        return jnp.take(x, jnp.asarray(idx), axis=axis)
-
     x = field[:, None]  # (N, 1, H, W)
-    x = reflect_take(x, 2)
+    x = _reflect101_pad(x, 2, r)
     x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1),
                                      "VALID")
-    x = reflect_take(x, 3)
+    x = _reflect101_pad(x, 3, r)
     x = jax.lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1),
                                      "VALID")
     return x[:, 0]
@@ -191,7 +187,7 @@ def _device_perspective_batch(batch, mats, out_hw, applied, interpolation):
     if applied is not None:
         out = jnp.where(applied.reshape(-1, 1, 1, 1), out, x)
     if not jnp.issubdtype(img.dtype, jnp.floating):
-        out = jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+        out = _saturate_int(out, img.dtype, round_half_up=True)
     batch["image"] = out
     if batch.get("mask") is not None and "mask" in batch:
         mask = batch["mask"]
@@ -274,7 +270,7 @@ class Resize(BaseTransform):
             out = jax.image.resize(img.astype(jnp.float32),
                                    (n, self.height, self.width, c), "linear")
             batch["image"] = out if jnp.issubdtype(img.dtype, jnp.floating) \
-                else jnp.clip(out + 0.5, 0, 255).astype(img.dtype)
+                else _saturate_int(out, img.dtype, round_half_up=True)
         if batch.get("mask") is not None and "mask" in batch:
             mask = batch["mask"]
             if mask.shape[1:3] != (self.height, self.width):
@@ -859,6 +855,7 @@ class ElasticTransform(BaseTransform):
     raises via the BaseTransform geometric guard."""
 
     geometric = True
+    device_bbox_safe = False  # no bbox handler: host path raises in bbox mode
 
     def __init__(self, alpha: float = 1.0, sigma: float = 50.0,
                  alpha_affine: float = 50.0, interpolation: int = _INTERP,
@@ -918,6 +915,7 @@ class GridDistortion(BaseTransform):
     (matching albumentations) — raises in bbox pipelines."""
 
     geometric = True
+    device_bbox_safe = False  # no bbox handler: host path raises in bbox mode
 
     def __init__(self, num_steps: int = 5, distort_limit: float = 0.3,
                  interpolation: int = _INTERP,
@@ -1013,6 +1011,7 @@ class OpticalDistortion(BaseTransform):
     (matching albumentations) — raises in bbox pipelines."""
 
     geometric = True
+    device_bbox_safe = False  # no bbox handler: host path raises in bbox mode
 
     def __init__(self, distort_limit: float = 0.05, shift_limit: float = 0.05,
                  interpolation: int = _INTERP,

@@ -28,16 +28,18 @@ def _bernoulli_mask(rng, batch_size: int, p: float):
     return m.reshape((batch_size,) + (1,) * 3)
 
 
-def _reflect101_pad(x, axis, r):
-    """Reflect-101 (cv2 BORDER_DEFAULT) padding by ``r`` on both sides of one
-    axis. Take-based periodic mirror, so radii larger than the axis keep
-    cv2's wrap-around semantics where ``jnp.pad(mode='reflect')`` raises
-    (elastic sigma 50 on small crops, big blurs on thumbnails).
+def _reflect101_pad(x, axis, r, hi=None):
+    """Reflect-101 (cv2 BORDER_DEFAULT) padding by ``r`` below / ``hi``
+    (default ``r``) above one axis. Take-based periodic mirror, so radii
+    larger than the axis keep cv2's wrap-around semantics where
+    ``jnp.pad(mode='reflect')`` raises (elastic sigma 50 on small crops,
+    big blurs on thumbnails).
     Coordinate-space twin: torchok_tpu/ops/warp.py::_reflect101."""
-    if r == 0:
+    hi = r if hi is None else hi
+    if r == 0 and hi == 0:
         return x
     n = x.shape[axis]
-    idx = np.arange(-r, n + r)
+    idx = np.arange(-r, n + hi)
     period = max(2 * (n - 1), 1)
     idx = np.abs(idx) % period
     idx = np.where(idx >= n, period - idx, idx)

@@ -172,6 +172,67 @@ def _gauss_blur_field(field, ksize: int, sigma: float):
     return x[:, 0]
 
 
+def _device_resize_to(batch, th, tw, interpolation=cv2.INTER_LINEAR):
+    """Batched deterministic resize of image (+mask) to a STATIC (th, tw).
+
+    Image resampling is cv2-parity 2-tap bilinear
+    (:func:`torchok_tpu.ops.image.resize_bilinear` — ``jax.image.resize``
+    would antialias on downscale and diverge from the host cv2 path) or
+    nearest; masks always nearest. Shared by Resize / FitResize /
+    LongestMaxSize / SmallestMaxSize."""
+    import jax.numpy as jnp
+
+    from torchok_tpu.ops.image import resize_bilinear, resize_nearest
+
+    batch = dict(batch)
+    img = batch["image"]
+    if img.shape[1:3] != (th, tw):
+        x = img.astype(jnp.float32)
+        out = resize_nearest(x, (th, tw)) \
+            if interpolation == cv2.INTER_NEAREST \
+            else resize_bilinear(x, (th, tw))
+        batch["image"] = out if jnp.issubdtype(img.dtype, jnp.floating) \
+            else _saturate_int(out, img.dtype, round_half_up=True)
+    if batch.get("mask") is not None and "mask" in batch:
+        mask = batch["mask"]
+        if mask.shape[1:3] != (th, tw):
+            m = mask[..., None] if mask.ndim == 3 else mask
+            m = resize_nearest(m, (th, tw))
+            batch["mask"] = m[..., 0] if mask.ndim == 3 else m
+    return batch
+
+
+def _device_pad_batch(arr, t, b, l, r, border_mode, value):
+    """cv2.copyMakeBorder of an NHWC batch with STATIC asymmetric pads."""
+    import jax.numpy as jnp
+
+    from torchok_tpu.data.transforms.pixelwise import _reflect101_pad
+
+    if border_mode == cv2.BORDER_CONSTANT:
+        fill = 0 if value is None else value
+        out = jnp.pad(arr, ((0, 0), (t, b), (l, r)) + ((0, 0),) * (arr.ndim - 3),
+                      mode="constant", constant_values=0)
+        if fill:
+            # cv2 scalar value is Scalar(v, 0, 0, 0): only channel 0 is
+            # filled on multi-channel images
+            h, w = arr.shape[1:3]
+            ind = np.ones((h + t + b, w + l + r), bool)
+            ind[t:t + h, l:l + w] = False
+            ind = jnp.asarray(ind)[None, :, :]
+            if arr.ndim == 4:
+                vec = np.zeros(arr.shape[3])
+                vec[0] = fill
+                out = out + (ind[..., None]
+                             * jnp.asarray(vec)[None, None, None, :]).astype(out.dtype)
+            else:
+                out = out + (ind * fill).astype(out.dtype)
+        return out
+    if border_mode == cv2.BORDER_REPLICATE:
+        return jnp.pad(arr, ((0, 0), (t, b), (l, r)) + ((0, 0),) * (arr.ndim - 3),
+                       mode="edge")
+    return _reflect101_pad(_reflect101_pad(arr, 1, t, b), 2, l, r)
+
+
 def _device_perspective_batch(batch, mats, out_hw, applied, interpolation):
     """Projective warp of image (+mask) with per-sample SRC->DST 3x3 mats
     (cv2.warpPerspective defaults: constant-0 border)."""
@@ -247,7 +308,6 @@ def _affine_bboxes(bboxes, m, out_w: int, out_h: int) -> np.ndarray:
 class Resize(BaseTransform):
     always_apply = True
     geometric = True
-    device_capable = True
     device_needs_uniform = True  # batched resize needs one input shape
     device_bbox_safe = False  # apply_batch does not rescale bboxes
 
@@ -257,28 +317,16 @@ class Resize(BaseTransform):
         self.height, self.width = height, width
         self.interpolation = interpolation
 
+    @property
+    def device_capable(self):
+        return self.interpolation in _DEVICE_INTERPS
+
     def apply(self, image, **params):
         return _resize(image, self.height, self.width, self.interpolation)
 
     def apply_batch(self, batch, rng):
-        import jax
-        import jax.numpy as jnp
-        batch = dict(batch)
-        img = batch["image"]
-        n, h, w, c = img.shape
-        if (h, w) != (self.height, self.width):
-            out = jax.image.resize(img.astype(jnp.float32),
-                                   (n, self.height, self.width, c), "linear")
-            batch["image"] = out if jnp.issubdtype(img.dtype, jnp.floating) \
-                else _saturate_int(out, img.dtype, round_half_up=True)
-        if batch.get("mask") is not None and "mask" in batch:
-            mask = batch["mask"]
-            if mask.shape[1:3] != (self.height, self.width):
-                m = mask[..., None] if mask.ndim == 3 else mask
-                m = jax.image.resize(m, (n, self.height, self.width, m.shape[-1]),
-                                     "nearest")
-                batch["mask"] = m[..., 0] if mask.ndim == 3 else m
-        return batch
+        return _device_resize_to(batch, self.height, self.width,
+                                 self.interpolation)
 
     def apply_to_mask(self, mask, **params):
         return _resize(mask, self.height, self.width, cv2.INTER_NEAREST)
@@ -296,6 +344,8 @@ class FitResize(BaseTransform):
 
     always_apply = True
     geometric = True
+    device_needs_uniform = True  # target size derives from the static shape
+    device_bbox_safe = False
 
     def __init__(self, max_height: int = 1024, max_width: int = 1024,
                  interpolation: int = _INTERP, always_apply: bool = False,
@@ -305,10 +355,20 @@ class FitResize(BaseTransform):
         self.interpolation = interpolation
         self.aspect_ratio = Fraction(max_height, max_width)
 
+    @property
+    def device_capable(self):
+        return self.interpolation in _DEVICE_INTERPS
+
     def _scale(self, h: int, w: int) -> float:
         if Fraction(h, w) >= self.aspect_ratio:
             return self.max_height / h
         return self.max_width / w
+
+    def apply_batch(self, batch, rng):
+        h, w = batch["image"].shape[1:3]
+        s = self._scale(h, w)
+        return _device_resize_to(batch, max(1, round(h * s)),
+                                 max(1, round(w * s)), self.interpolation)
 
     def apply(self, image, **params):
         h, w = image.shape[:2]
@@ -331,12 +391,24 @@ class FitResize(BaseTransform):
 class LongestMaxSize(BaseTransform):
     always_apply = True
     geometric = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, max_size: int = 1024, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):
         super().__init__(always_apply, p)
         self.max_size = max_size
         self.interpolation = interpolation
+
+    @property
+    def device_capable(self):
+        return self.interpolation in _DEVICE_INTERPS
+
+    def apply_batch(self, batch, rng):
+        h, w = batch["image"].shape[1:3]
+        s = self.max_size / max(h, w)
+        return _device_resize_to(batch, round(h * s), round(w * s),
+                                 self.interpolation)
 
     def apply(self, image, **params):
         h, w = image.shape[:2]
@@ -358,12 +430,24 @@ class LongestMaxSize(BaseTransform):
 class SmallestMaxSize(BaseTransform):
     always_apply = True
     geometric = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, max_size: int = 1024, interpolation: int = _INTERP,
                  always_apply: bool = False, p: float = 1.0, **_):
         super().__init__(always_apply, p)
         self.max_size = max_size
         self.interpolation = interpolation
+
+    @property
+    def device_capable(self):
+        return self.interpolation in _DEVICE_INTERPS
+
+    def apply_batch(self, batch, rng):
+        h, w = batch["image"].shape[1:3]
+        s = self.max_size / min(h, w)
+        return _device_resize_to(batch, round(h * s), round(w * s),
+                                 self.interpolation)
 
     def apply(self, image, **params):
         h, w = image.shape[:2]
@@ -485,11 +569,24 @@ class RandomCrop(_CropBase):
 @TRANSFORMS.register_class
 class Crop(_CropBase):
     always_apply = True
+    device_capable = True
+    device_needs_uniform = True
+    device_bbox_safe = False
 
     def __init__(self, x_min: int = 0, y_min: int = 0, x_max: int = 1024,
                  y_max: int = 1024, always_apply: bool = False, p: float = 1.0, **_):
         super().__init__(always_apply, p)
         self.x_min, self.y_min, self.x_max, self.y_max = x_min, y_min, x_max, y_max
+
+    def apply_batch(self, batch, rng):
+        # static slice; jnp slicing clamps to bounds exactly like the host
+        batch = dict(batch)
+        batch["image"] = batch["image"][:, self.y_min:self.y_max,
+                                        self.x_min:self.x_max]
+        if batch.get("mask") is not None and "mask" in batch:
+            batch["mask"] = batch["mask"][:, self.y_min:self.y_max,
+                                          self.x_min:self.x_max]
+        return batch
 
     def apply(self, image, **params):
         return image[self.y_min:self.y_max, self.x_min:self.x_max]
@@ -591,6 +688,8 @@ class RandomResizedCrop(BaseTransform):
 class PadIfNeeded(BaseTransform):
     always_apply = True
     geometric = True
+    device_needs_uniform = True  # pads derive from the static shape
+    device_bbox_safe = False
 
     def __init__(self, min_height: int = 1024, min_width: int = 1024,
                  border_mode: int = cv2.BORDER_REFLECT_101, value=None,
@@ -600,6 +699,27 @@ class PadIfNeeded(BaseTransform):
         self.border_mode = border_mode
         self.value = value
         self.mask_value = mask_value
+
+    @property
+    def device_capable(self):
+        return (self.border_mode in _DEVICE_BORDERS
+                and _scalar_or_none(self.value)
+                and _scalar_or_none(self.mask_value))
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        t, b, l, r = self._pads(*img.shape[1:3])
+        if t or b or l or r:
+            batch["image"] = _device_pad_batch(img, t, b, l, r,
+                                               self.border_mode, self.value)
+        if batch.get("mask") is not None and "mask" in batch:
+            mask = batch["mask"]
+            t, b, l, r = self._pads(*mask.shape[1:3])
+            if t or b or l or r:
+                batch["mask"] = _device_pad_batch(
+                    mask, t, b, l, r, self.border_mode, self.mask_value)
+        return batch
 
     def _pads(self, h, w):
         ph = max(self.min_height - h, 0)
@@ -690,6 +810,37 @@ class Rotate(BaseTransform):
 @TRANSFORMS.register_class
 class RandomRotate90(BaseTransform):
     geometric = True
+    device_capable = True
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        if h != w:
+            # per-sample 90-degree turns of non-square images produce mixed
+            # shapes — the host path would fail at collate too
+            raise ValueError(
+                f"device RandomRotate90 needs square images, got ({h}, {w}); "
+                f"resize/crop to a square first or keep it on host")
+        rk, rp = jax.random.split(rng)
+        k = jax.random.randint(rk, (n,), 0, 4)
+        applied = jax.random.uniform(rp, (n,)) < self.p
+        k = jnp.where(applied, k, 0)
+
+        def rot(x, kk):
+            return jax.lax.switch(kk, [lambda a: a,
+                                       lambda a: jnp.rot90(a, 1),
+                                       lambda a: jnp.rot90(a, 2),
+                                       lambda a: jnp.rot90(a, 3)], x)
+
+        batch["image"] = jax.vmap(rot)(img, k)
+        if batch.get("mask") is not None and "mask" in batch:
+            batch["mask"] = jax.vmap(rot)(batch["mask"], k)
+        return batch
 
     def get_params(self, sample):
         return {"k": int(self.rng.integers(0, 4))}
@@ -715,6 +866,35 @@ class RandomRotate90(BaseTransform):
 @TRANSFORMS.register_class
 class Transpose(BaseTransform):
     geometric = True
+    device_capable = True
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        swapped = jnp.swapaxes(img, 1, 2)
+        mask = batch.get("mask") if "mask" in batch else None
+        if self.p >= 1.0:
+            batch["image"] = swapped
+            if mask is not None:
+                batch["mask"] = jnp.swapaxes(mask, 1, 2)
+            return batch
+        if h != w:
+            # per-sample transposes of non-square images produce mixed
+            # shapes — the host path would fail at collate too
+            raise ValueError(
+                f"device Transpose with p<1 needs square images, got "
+                f"({h}, {w}); use p=1, square inputs, or keep it on host")
+        applied = jax.random.uniform(rng, (n,)) < self.p
+        batch["image"] = jnp.where(applied.reshape(-1, 1, 1, 1), swapped, img)
+        if mask is not None:
+            sel = applied.reshape((-1,) + (1,) * (mask.ndim - 1))
+            batch["mask"] = jnp.where(sel, jnp.swapaxes(mask, 1, 2), mask)
+        return batch
 
     def apply(self, image, **params):
         return np.ascontiguousarray(image.swapaxes(0, 1))

@@ -204,6 +204,11 @@ class Sequential(Compose):
 @TRANSFORMS.register_class
 class NoOp(BaseTransform):
     always_apply = True
+    device_capable = True
 
     def apply(self, image, **params):
         return image
+
+    def apply_batch(self, batch, rng):
+        del rng  # identity regardless of p, like the host path
+        return batch

@@ -91,6 +91,31 @@ def _fixed_filter2d(img, kernel):
     return jnp.transpose(y, (0, 2, 3, 1))
 
 
+def _filter2d_per_sample(img, kernels):
+    """cv2.filter2D semantics (correlation, reflect-101 border) with a
+    PER-SAMPLE non-separable 2D kernel, over an NHWC f32 batch.
+
+    ``kernels`` is ``(B, K, K)`` with K odd; taps beyond a sample's chosen
+    radius must already be zero (they read reflect-padded pixels but
+    contribute nothing, exactly like :func:`_sep_filter_per_sample`).
+    Runs as one grouped conv (one kernel per (sample, channel))."""
+    b, h, w, c = img.shape
+    k = kernels.shape[1]
+    r = (k - 1) // 2
+    if r == 0:
+        return img * kernels[:, 0, 0][:, None, None, None]
+    x = _reflect101_pad(_reflect101_pad(img, 1, r), 2, r)
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(
+        1, b * c, h + 2 * r, w + 2 * r)
+    rhs = jnp.broadcast_to(kernels[:, None].astype(jnp.float32),
+                           (b, c, k, k)).reshape(b * c, 1, k, k)
+    y = jax.lax.conv_general_dilated(
+        x, rhs, window_strides=(1, 1), padding="VALID",
+        feature_group_count=b * c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return jnp.transpose(y.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
 def _median_filter_per_sample(img, radii, max_r):
     """Median filter with PER-SAMPLE odd kernel sizes (2*radii+1) over an
     NHWC batch, cv2.medianBlur semantics (BORDER_REPLICATE).
@@ -1263,6 +1288,8 @@ class AdvancedBlur(BaseTransform):
     """Generalized-gaussian kernel blur with random anisotropy, rotation and
     multiplicative kernel noise."""
 
+    device_capable = True
+
     def __init__(self, blur_limit=(3, 7), sigmaX_limit=(0.2, 1.0),
                  sigmaY_limit=(0.2, 1.0), rotate_limit=90,
                  beta_limit=(0.5, 8.0), noise_limit=(0.9, 1.1),
@@ -1293,10 +1320,52 @@ class AdvancedBlur(BaseTransform):
         kernel /= kernel.sum()
         return cv2.filter2D(image, -1, kernel.astype(np.float32))
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        keys = jax.random.split(rng, 7)
+        r_apply, r_k, r_sx, r_sy, r_ang, r_beta, r_noise = keys
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        sx = jax.random.uniform(r_sx, (n, 1, 1), minval=self.sigmaX_limit[0],
+                                maxval=self.sigmaX_limit[1])
+        sy = jax.random.uniform(r_sy, (n, 1, 1), minval=self.sigmaY_limit[0],
+                                maxval=self.sigmaY_limit[1])
+        ang = jnp.deg2rad(jax.random.uniform(
+            r_ang, (n, 1, 1), minval=self.rotate_limit[0],
+            maxval=self.rotate_limit[1]))
+        beta = jax.random.uniform(r_beta, (n, 1, 1), minval=self.beta_limit[0],
+                                  maxval=self.beta_limit[1])
+        k = 2 * hi + 1
+        ax = jnp.arange(-hi, hi + 1, dtype=jnp.float32)
+        xx = jnp.broadcast_to(ax[None, None, :], (n, k, k))
+        yy = jnp.broadcast_to(ax[None, :, None], (n, k, k))
+        rx = xx * jnp.cos(ang) + yy * jnp.sin(ang)
+        ry = -xx * jnp.sin(ang) + yy * jnp.cos(ang)
+        d = (rx / sx) ** 2 + (ry / sy) ** 2
+        kern = jnp.exp(-0.5 * d ** beta)
+        kern = kern * jax.random.uniform(
+            r_noise, (n, k, k), minval=self.noise_limit[0],
+            maxval=self.noise_limit[1])
+        valid = (jnp.abs(ax)[None, None, :] <= radii[:, None, None]) & \
+            (jnp.abs(ax)[None, :, None] <= radii[:, None, None])
+        kern = jnp.where(valid, kern, 0.0)
+        kern = kern / kern.sum(axis=(1, 2), keepdims=True)
+        x = _filter2d_per_sample(img.astype(jnp.float32), kern)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = _saturate_int(out, img.dtype, round_half_up=True)
+        batch["image"] = out
+        return batch
+
 
 @TRANSFORMS.register_class
 class Defocus(BaseTransform):
     """Disk-kernel (defocus) blur."""
+
+    device_capable = True
 
     def __init__(self, radius=(3, 10), alias_blur=(0.1, 0.5),
                  always_apply: bool = False, p: float = 0.5, **_):
@@ -1314,6 +1383,56 @@ class Defocus(BaseTransform):
         kernel = cv2.GaussianBlur(kernel, (3, 3), sigma)
         kernel /= kernel.sum()
         return cv2.filter2D(image, -1, kernel)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        r_apply, r_r, r_sig = jax.random.split(rng, 3)
+        radii = jax.random.randint(r_r, (n,), self.radius[0],
+                                   self.radius[1] + 1)
+        sigma = jax.random.uniform(r_sig, (n,), minval=self.alias_blur[0],
+                                   maxval=self.alias_blur[1])
+        big_r = self.radius[1]
+        k = 2 * big_r + 1
+        ax = jnp.arange(-big_r, big_r + 1, dtype=jnp.float32)
+        disc = ((ax[None, None, :] ** 2 + ax[None, :, None] ** 2)
+                <= (radii.astype(jnp.float32) ** 2)[:, None, None]
+                ).astype(jnp.float32)
+        # host blurs the (2r+1)^2 kernel image with cv2.GaussianBlur(.,(3,3),
+        # sigma): formula taps [g,1,g]/(1+2g) (sigma>0 so no binomial table),
+        # reflect-101 at the SUBGRID's border — emulate the reflection inside
+        # each sample's valid (2r+1)^2 region of the max-size grid
+        g = jnp.exp(-1.0 / (2.0 * sigma ** 2))
+        w_side = (g / (1 + 2 * g))[:, None]
+        w_mid = (1 / (1 + 2 * g))[:, None]
+        e = jnp.arange(k)[None, :]
+        off = big_r - radii[:, None]  # embedded index of local 0
+
+        def blur_rows(kern):
+            out = jnp.zeros_like(kern)
+            for d in (-1, 0, 1):
+                l = jnp.abs(e - off + d)
+                l = jnp.where(l > 2 * radii[:, None],
+                              4 * radii[:, None] - l, l)
+                ee = jnp.clip(l + off, 0, k - 1)
+                tap = jnp.take_along_axis(kern, ee[:, :, None], axis=1)
+                out = out + (w_mid if d == 0 else w_side)[..., None] * tap
+            return out
+
+        kern = blur_rows(disc)
+        kern = jnp.swapaxes(blur_rows(jnp.swapaxes(kern, 1, 2)), 1, 2)
+        valid = (jnp.abs(ax)[None, None, :] <= radii[:, None, None]) & \
+            (jnp.abs(ax)[None, :, None] <= radii[:, None, None])
+        kern = jnp.where(valid, kern, 0.0)
+        kern = kern / kern.sum(axis=(1, 2), keepdims=True)
+        x = _filter2d_per_sample(img.astype(jnp.float32), kern)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = _saturate_int(out, img.dtype, round_half_up=True)
+        batch["image"] = out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -1479,9 +1598,34 @@ class UnsharpMask(BaseTransform):
         return batch
 
 
+def _j1_jnp(x):
+    """Bessel J1 on device (Abramowitz & Stegun 9.4.4 / 9.4.6, |err| ~1e-7
+    — far inside the uint8 LSB after kernel normalization)."""
+    ax = jnp.abs(x)
+    t = jnp.minimum(ax, 3.0) / 3.0
+    t2 = t * t
+    # small-x: J1(x)/x = polynomial in (x/3)^2
+    p = (0.5 + t2 * (-0.56249985 + t2 * (0.21093573 + t2 * (
+        -0.03954289 + t2 * (0.00443319 + t2 * (
+            -0.00031761 + t2 * 0.00001109))))))
+    small = ax * p
+    xl = jnp.maximum(ax, 3.0)
+    u = 3.0 / xl
+    f1 = (0.79788456 + u * (0.00000156 + u * (0.01659667 + u * (
+        0.00017105 + u * (-0.00249511 + u * (0.00113653 + u * (
+            -0.00020033)))))))
+    th1 = (xl - 2.35619449 + u * (0.12499612 + u * (0.00005650 + u * (
+        -0.00637879 + u * (0.00074348 + u * (0.00079824 + u * (
+            -0.00029166)))))))
+    large = f1 * jnp.cos(th1) / jnp.sqrt(xl)
+    return jnp.sign(x) * jnp.where(ax < 3.0, small, large)
+
+
 @TRANSFORMS.register_class
 class RingingOvershoot(BaseTransform):
     """2D sinc-filter ringing artifacts."""
+
+    device_capable = True
 
     def __init__(self, blur_limit=(7, 15), cutoff=(0.7853981633974483, 3.141592653589793),
                  always_apply: bool = False, p: float = 0.5, **_):
@@ -1501,6 +1645,35 @@ class RingingOvershoot(BaseTransform):
         kernel[k // 2, k // 2] = cutoff ** 2 / (4 * np.pi)
         kernel /= kernel.sum()
         return cv2.filter2D(image, -1, kernel.astype(np.float32))
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n = img.shape[0]
+        r_apply, r_k, r_c = jax.random.split(rng, 3)
+        lo, hi = self.blur_limit[0] // 2, self.blur_limit[1] // 2
+        radii = jax.random.randint(r_k, (n,), lo, hi + 1)
+        cutoff = jax.random.uniform(r_c, (n, 1, 1), minval=self.cutoff[0],
+                                    maxval=self.cutoff[1])
+        k = 2 * hi + 1
+        ax = jnp.arange(-hi, hi + 1, dtype=jnp.float32)
+        rr = jnp.sqrt(ax[None, None, :] ** 2 + ax[None, :, None] ** 2)
+        rr = jnp.broadcast_to(rr, (n, k, k))
+        center = rr == 0
+        safe_r = jnp.where(center, 1.0, rr)
+        kern = cutoff * _j1_jnp(cutoff * safe_r) / (2 * np.pi * safe_r)
+        kern = jnp.where(center, cutoff ** 2 / (4 * np.pi), kern)
+        valid = (jnp.abs(ax)[None, None, :] <= radii[:, None, None]) & \
+            (jnp.abs(ax)[None, :, None] <= radii[:, None, None])
+        kern = jnp.where(valid, kern, 0.0)
+        kern = kern / kern.sum(axis=(1, 2), keepdims=True)
+        x = _filter2d_per_sample(img.astype(jnp.float32), kern)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            out = _saturate_int(out, img.dtype, round_half_up=True)
+        batch["image"] = out
+        return batch
 
 
 def _j1_approx(x):
@@ -1751,6 +1924,8 @@ class PixelDropout(BaseTransform):
 class GridDropout(BaseTransform):
     """Regular grid of dropped square regions."""
 
+    device_capable = True
+
     def __init__(self, ratio: float = 0.5, unit_size_min=None, unit_size_max=None,
                  holes_number_x=None, holes_number_y=None, shift_x: int = 0,
                  shift_y: int = 0, random_offset: bool = False, fill_value=0,
@@ -1802,6 +1977,46 @@ class GridDropout(BaseTransform):
         out[drop] = self.mask_fill_value
         return out
 
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        r_apply, r_unit, r_sy, r_sx = jax.random.split(rng, 4)
+        if self.unit_size_min is not None and self.unit_size_max is not None:
+            unit = jax.random.randint(r_unit, (n,), self.unit_size_min,
+                                      self.unit_size_max + 1)
+            ux = uy = jnp.maximum(unit, 1)
+        else:
+            ux = jnp.full((n,), max(w // (self.holes_number_x or 8), 1))
+            uy = jnp.full((n,), max(h // (self.holes_number_y or 8), 1))
+        # host: hole = max(1, int(unit * ratio)) — trunc of a non-negative
+        hw_ = jnp.maximum(1, (ux * self.ratio).astype(jnp.int32))
+        hh_ = jnp.maximum(1, (uy * self.ratio).astype(jnp.int32))
+        if self.random_offset:
+            sx = jax.random.randint(r_sx, (n,), 0,
+                                    jnp.maximum(ux - hw_, 0) + 1)
+            sy = jax.random.randint(r_sy, (n,), 0,
+                                    jnp.maximum(uy - hh_, 0) + 1)
+        else:
+            sx = jnp.full((n,), self.shift_x)
+            sy = jnp.full((n,), self.shift_y)
+        yy = jnp.arange(h)
+        xx = jnp.arange(w)
+        drop_y = ((yy[None, :] - sy[:, None]) % uy[:, None]) < hh_[:, None]
+        drop_x = ((xx[None, :] - sx[:, None]) % ux[:, None]) < hw_[:, None]
+        m = _bernoulli_mask(r_apply, n, self.p)
+        drop = (drop_y[:, :, None] & drop_x[:, None, :])[..., None] & \
+            m.astype(bool)
+        batch["image"] = jnp.where(
+            drop, jnp.asarray(self.fill_value).astype(img.dtype), img)
+        if self.mask_fill_value is not None and batch.get("mask") is not None \
+                and "mask" in batch:
+            mask = batch["mask"]
+            dm = drop[..., 0] if mask.ndim == 3 else drop
+            batch["mask"] = jnp.where(
+                dm, jnp.asarray(self.mask_fill_value).astype(mask.dtype), mask)
+        return batch
+
 
 @TRANSFORMS.register_class
 class Superpixels(BaseTransform):
@@ -1815,6 +2030,47 @@ class Superpixels(BaseTransform):
             else tuple(p_replace)
         self.n_segments = (n_segments, n_segments) if isinstance(n_segments, int) \
             else tuple(n_segments)
+
+    @property
+    def device_capable(self):
+        # a random segment count would make the grid (and every cell
+        # boundary) a traced shape; a fixed count keeps them static
+        return self.n_segments[0] == self.n_segments[1]
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, c = img.shape
+        grid = max(1, int(np.sqrt(self.n_segments[0])))
+        ys = np.linspace(0, h, grid + 1, dtype=int)
+        xs = np.linspace(0, w, grid + 1, dtype=int)
+        cell_y = np.searchsorted(ys[1:], np.arange(h), side="right")
+        cell_x = np.searchsorted(xs[1:], np.arange(w), side="right")
+        one_y = jnp.asarray((cell_y[None, :] == np.arange(grid)[:, None])
+                            .astype(np.float32))  # (grid, h)
+        one_x = jnp.asarray((cell_x[None, :] == np.arange(grid)[:, None])
+                            .astype(np.float32))  # (grid, w)
+        x = img.astype(jnp.float32)
+        # cell-local sums as two matmuls (exact in f32 for uint8 cells)
+        sums = jnp.einsum("gy,nyxc->ngxc", one_y, x)
+        sums = jnp.einsum("kx,ngxc->ngkc", one_x, sums)
+        area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        means = sums / jnp.asarray(np.maximum(area, 1), jnp.float32)[None, :, :, None]
+        r_apply, r_p, r_cells = jax.random.split(rng, 3)
+        p_rep = jax.random.uniform(r_p, (n, 1, 1), minval=self.p_replace[0],
+                                   maxval=self.p_replace[1])
+        replace = jax.random.uniform(r_cells, (n, grid, grid)) < p_rep
+        per_pix_mean = means[:, cell_y][:, :, cell_x]
+        per_pix_rep = replace[:, cell_y][:, :, cell_x]
+        m = _bernoulli_mask(r_apply, n, self.p).astype(bool)
+        sel = per_pix_rep[..., None] & m
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            # host: cell.mean().astype(dtype) — truncation of a non-negative
+            repl = jnp.floor(per_pix_mean).astype(img.dtype)
+            batch["image"] = jnp.where(sel, repl, img)
+        else:
+            batch["image"] = jnp.where(sel, per_pix_mean, x)
+        return batch
 
     def apply(self, image, **params):
         p_rep = float(self.rng.uniform(*self.p_replace))

@@ -1081,6 +1081,49 @@ def _hsv_u8_to_rgb(h, s, v):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _rgb_to_hls_f(imgf):
+    """cv2 COLOR_RGB2HLS float semantics on a 0..1 tensor: H in degrees
+    [0, 360), L/S in [0, 1]."""
+    r, g, b = imgf[..., 0], imgf[..., 1], imgf[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = mx - mn
+    ll = (mx + mn) * 0.5
+    safe = jnp.where(diff > 0, diff, 1.0)
+    s = jnp.where(ll < 0.5, diff / jnp.where(mx + mn > 0, mx + mn, 1.0),
+                  diff / jnp.where(2.0 - mx - mn > 0, 2.0 - mx - mn, 1.0))
+    h = jnp.where(mx == r, (g - b) / safe,
+                  jnp.where(mx == g, 2.0 + (b - r) / safe,
+                            4.0 + (r - g) / safe))
+    h = (h * 60.0) % 360.0
+    h = jnp.where(diff > 0, h, 0.0)
+    s = jnp.where(diff > 0, s, 0.0)
+    return h, ll, s
+
+
+def _hls_f_to_rgb(h, ll, s):
+    """cv2 COLOR_HLS2RGB float semantics (H in degrees)."""
+    m2 = jnp.where(ll < 0.5, ll * (1.0 + s), ll + s - ll * s)
+    m1 = 2.0 * ll - m2
+
+    def hue2rgb(hd):
+        hd = hd % 360.0
+        return jnp.where(hd < 60.0, m1 + (m2 - m1) * hd / 60.0,
+                         jnp.where(hd < 180.0, m2,
+                                   jnp.where(hd < 240.0,
+                                             m1 + (m2 - m1) * (240.0 - hd) / 60.0,
+                                             m1)))
+
+    r = hue2rgb(h + 120.0)
+    g = hue2rgb(h)
+    b = hue2rgb(h - 120.0)
+    flat = s <= 0
+    r = jnp.where(flat, ll, r)
+    g = jnp.where(flat, ll, g)
+    b = jnp.where(flat, ll, b)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 @TRANSFORMS.register_class
 class HueSaturationValue(BaseTransform):
     device_capable = True
@@ -1439,6 +1482,12 @@ class Defocus(BaseTransform):
 class ZoomBlur(BaseTransform):
     """Average of progressively zoomed-in frames."""
 
+    @property
+    def device_capable(self):
+        # the frame count is bounded by ceil((max-1)/step_min); a zero/
+        # degenerate step would make that bound unbatchable
+        return self.step_factor[0] > 0
+
     def __init__(self, max_factor=1.31, step_factor=(0.01, 0.03),
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -1461,6 +1510,57 @@ class ZoomBlur(BaseTransform):
             acc += zoomed[y0:y0 + h, x0:x0 + w]
             n += 1
         return _from_float01(acc / n, was_uint8)
+
+    def apply_batch(self, batch, rng):
+        from torchok_tpu.ops.warp import remap_sample
+
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, _ = img.shape
+        is_u8 = img.dtype == jnp.uint8
+        x = img.astype(jnp.float32) / (255.0 if is_u8 else 1.0)
+        r_apply, r_mf, r_st = jax.random.split(rng, 3)
+        mf = jax.random.uniform(r_mf, (n,), minval=self.max_factor[0],
+                                maxval=self.max_factor[1])
+        step = jax.random.uniform(r_st, (n,), minval=self.step_factor[0],
+                                  maxval=self.step_factor[1])
+        # host frame i (0-based) has factor 1 + step*(i+1), while factor < mf;
+        # the worst case bounds the static scan length
+        max_frames = int(np.ceil(
+            (self.max_factor[1] - 1.0) / self.step_factor[0])) + 1
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+
+        def frame(carry, i):
+            acc, cnt = carry
+            f = 1.0 + step * (i + 1.0)
+            valid = f < mf
+            # cv2.resize INTER_LINEAR to (round(h*f), round(w*f)) then center
+            # crop == sampling src at (dst + crop0 + 0.5) * h/zh - 0.5
+            zh = jnp.round(h * f)
+            zw = jnp.round(w * f)
+            y0 = jnp.floor((zh - h) / 2.0)
+            x0 = jnp.floor((zw - w) / 2.0)
+            my = (ys[None, :] + y0[:, None] + 0.5) * (h / zh)[:, None] - 0.5
+            mx = (xs[None, :] + x0[:, None] + 0.5) * (w / zw)[:, None] - 0.5
+            my = jnp.broadcast_to(my[:, :, None], (n, h, w))
+            mx = jnp.broadcast_to(mx[:, None, :], (n, h, w))
+            zoomed = remap_sample(x, mx, my, method="bilinear",
+                                  border="replicate")
+            v = valid[:, None, None, None]
+            return (acc + jnp.where(v, zoomed, 0.0),
+                    cnt + valid.astype(jnp.float32)), None
+
+        (acc, cnt), _ = jax.lax.scan(
+            frame, (x, jnp.ones((n,), jnp.float32)),
+            jnp.arange(max_frames, dtype=jnp.float32))
+        y = acc / cnt[:, None, None, None]
+        if is_u8:
+            y = jnp.clip(y * 255.0, 0, 255)  # host _from_float01: clip+trunc
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, img.astype(jnp.float32) if is_u8 else x)
+        batch["image"] = out.astype(jnp.uint8) if is_u8 else out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -1741,6 +1841,8 @@ class FancyPCA(BaseTransform):
 class ISONoise(BaseTransform):
     """Sensor noise: poisson-ish luminance noise + hue color shift."""
 
+    device_capable = True
+
     def __init__(self, color_shift=(0.01, 0.05), intensity=(0.1, 0.5),
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -1760,6 +1862,34 @@ class ISONoise(BaseTransform):
                               (1.0 - hls[..., 1]), 0, 1)
         out = cv2.cvtColor(hls, cv2.COLOR_HLS2RGB)
         return _from_float01(out, was_uint8)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, _ = img.shape
+        is_u8 = img.dtype == jnp.uint8
+        x = img.astype(jnp.float32) / (255.0 if is_u8 else 1.0)
+        r_apply, r_int, r_cs, r_lum, r_col = jax.random.split(rng, 5)
+        intensity = jax.random.uniform(r_int, (n,), minval=self.intensity[0],
+                                       maxval=self.intensity[1])
+        color_shift = jax.random.uniform(r_cs, (n,), minval=self.color_shift[0],
+                                         maxval=self.color_shift[1])
+        hh, ll, ss = _rgb_to_hls_f(x)
+        std = jnp.std(x, axis=(1, 2, 3))
+        lam = std * intensity * 255.0
+        lum = jax.random.poisson(r_lum, lam[:, None, None],
+                                 (n, h, w)).astype(jnp.float32) / 255.0
+        col = jax.random.normal(r_col, (n, h, w)) * \
+            (color_shift * intensity * 180.0)[:, None, None]
+        hh = (hh + col) % 360.0
+        ll = jnp.clip(ll + lum * (1.0 - ll), 0, 1)
+        y = _hls_f_to_rgb(hh, ll, ss)
+        if is_u8:
+            y = jnp.clip(y * 255.0, 0, 255)  # host _from_float01: clip+trunc
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, img.astype(jnp.float32) if is_u8 else x)
+        batch["image"] = out.astype(jnp.uint8) if is_u8 else out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -2176,6 +2306,8 @@ class RandomShadow(BaseTransform):
 
 @TRANSFORMS.register_class
 class RandomSnow(BaseTransform):
+    device_capable = True
+
     def __init__(self, snow_point_lower: float = 0.1, snow_point_upper: float = 0.3,
                  brightness_coeff: float = 2.5, always_apply: bool = False,
                  p: float = 0.5, **_):
@@ -2190,6 +2322,35 @@ class RandomSnow(BaseTransform):
         hls[..., 1][bright] = np.clip(hls[..., 1][bright] * self.brightness_coeff,
                                       0, 255)
         return cv2.cvtColor(hls.astype(np.uint8), cv2.COLOR_HLS2RGB)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        if img.dtype != jnp.uint8:
+            raise TypeError("RandomSnow expects uint8 images; keep it on the "
+                            "host path for float inputs")
+        n = img.shape[0]
+        r_apply, r_pt = jax.random.split(rng)
+        point = jax.random.uniform(
+            r_pt, (n, 1, 1), minval=self.snow_point[0],
+            maxval=self.snow_point[1]) * 127.5 + 85
+        # cv2's 8U HLS path is its float path on x*(1/255.f) with cvRound
+        # (round-half-even) back to u8 — reproducing the reciprocal-multiply
+        # scaling and rint makes L and S EXACT (probed exhaustively; H has a
+        # ~0.1% 1-half-degree residual from cv2's hue op ordering)
+        inv255 = np.float32(1.0 / 255.0)
+        h, ll, s = _rgb_to_hls_f(img.astype(jnp.float32) * inv255)
+        h8 = jnp.round(h * 0.5) % 180.0
+        l8 = jnp.round(ll * 255.0)
+        s8 = jnp.round(s * 255.0)
+        brightened = jnp.clip(l8 * self.brightness_coeff, 0, 255)
+        l8 = jnp.where(l8 < point, jnp.floor(brightened), l8)  # host trunc
+        rgb = _hls_f_to_rgb(h8 * 2.0, l8 * inv255, s8 * inv255)
+        x = jnp.round(rgb * 255.0)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, x, img.astype(jnp.float32))
+        batch["image"] = jnp.clip(out, 0, 255).astype(jnp.uint8)
+        return batch
 
 
 @TRANSFORMS.register_class

@@ -182,13 +182,13 @@ def _device_resize_to(batch, th, tw, interpolation=cv2.INTER_LINEAR):
     LongestMaxSize / SmallestMaxSize."""
     import jax.numpy as jnp
 
-    from torchok_tpu.ops.image import resize_bilinear, resize_nearest
+    from torchok_tpu.ops.image import resize_bilinear, resize_nearest_cv2
 
     batch = dict(batch)
     img = batch["image"]
     if img.shape[1:3] != (th, tw):
         x = img.astype(jnp.float32)
-        out = resize_nearest(x, (th, tw)) \
+        out = resize_nearest_cv2(x, (th, tw)) \
             if interpolation == cv2.INTER_NEAREST \
             else resize_bilinear(x, (th, tw))
         batch["image"] = out if jnp.issubdtype(img.dtype, jnp.floating) \
@@ -197,7 +197,7 @@ def _device_resize_to(batch, th, tw, interpolation=cv2.INTER_LINEAR):
         mask = batch["mask"]
         if mask.shape[1:3] != (th, tw):
             m = mask[..., None] if mask.ndim == 3 else mask
-            m = resize_nearest(m, (th, tw))
+            m = resize_nearest_cv2(m, (th, tw))
             batch["mask"] = m[..., 0] if mask.ndim == 3 else m
     return batch
 
@@ -1623,6 +1623,54 @@ class CropAndPad(BaseTransform):
     """Crop (negative) or pad (positive) each side by px or percent."""
 
     geometric = True
+    device_needs_uniform = True
+    device_bbox_safe = False
+
+    @property
+    def device_capable(self):
+        # only deterministic per-side amounts (scalar or explicit 4-list)
+        # keep the intermediate crop/pad geometry static; random 2-range
+        # specs and keep_size=False (shape-changing) stay on host
+        spec = self.px if self.px is not None else self.percent
+        det = isinstance(spec, (int, float)) or \
+            (spec is not None and len(spec) == 4)
+        return (self.keep_size and det
+                and self.interpolation in _DEVICE_INTERPS
+                and self.pad_mode in _DEVICE_BORDERS
+                and _scalar_or_none(self.pad_cval)
+                and _scalar_or_none(self.pad_cval_mask))
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        top, right, bottom, left = self._amounts(h, w)
+        applied = jax.random.uniform(rng, (n,)) < self.p
+        y0, y1 = max(-top, 0), h - max(-bottom, 0)
+        x0, x1 = max(-left, 0), w - max(-right, 0)
+        pt, pb = max(top, 0), max(bottom, 0)
+        pl, pr = max(left, 0), max(right, 0)
+
+        def crop_pad(arr, cval):
+            out = arr[:, y0:max(y1, y0 + 1), x0:max(x1, x0 + 1)]
+            if pt or pb or pl or pr:
+                out = _device_pad_batch(out, pt, pb, pl, pr,
+                                        self.pad_mode, cval)
+            return out
+
+        tmp = {"image": crop_pad(img, self.pad_cval)}
+        mask = batch.get("mask") if "mask" in batch else None
+        if mask is not None:
+            tmp["mask"] = crop_pad(mask, self.pad_cval_mask)
+        tmp = _device_resize_to(tmp, h, w, self.interpolation)
+        sel = applied[:, None, None, None]
+        batch["image"] = jnp.where(sel, tmp["image"].astype(img.dtype), img)
+        if mask is not None:
+            ms = sel[..., 0] if mask.ndim == 3 else sel
+            batch["mask"] = jnp.where(ms, tmp["mask"].astype(mask.dtype), mask)
+        return batch
 
     def __init__(self, px=None, percent=None, pad_mode: int = cv2.BORDER_CONSTANT,
                  pad_cval=0, pad_cval_mask=0, keep_size: bool = True,
@@ -1743,10 +1791,61 @@ class RandomGridShuffle(BaseTransform):
     bbox pipelines."""
 
     geometric = True
+    device_capable = True
+    device_needs_uniform = True  # static cell geometry
+    device_bbox_safe = False
 
     def __init__(self, grid=(3, 3), always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
         self.grid = tuple(grid)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w = img.shape[:3]
+        gh, gw = self.grid
+        ys = np.linspace(0, h, gh + 1, dtype=int)
+        xs = np.linspace(0, w, gw + 1, dtype=int)
+        ch = int(np.diff(ys).min()) if gh > 1 else h
+        cw = int(np.diff(xs).min()) if gw > 1 else w
+        cells = np.array([(ys[i], xs[j]) for i in range(gh) for j in range(gw)])
+        k_perm, k_p = jax.random.split(rng)
+        g = gh * gw
+        perm = jax.random.permutation(
+            k_perm, jnp.broadcast_to(jnp.arange(g), (n, g)), axis=1,
+            independent=True)
+        applied = jax.random.uniform(k_p, (n,)) < self.p
+        yy = jnp.arange(h)[None, :, None]
+        xx = jnp.arange(w)[None, None, :]
+        map_y = jnp.broadcast_to(yy, (n, h, w))
+        map_x = jnp.broadcast_to(xx, (n, h, w))
+        cell_y = jnp.asarray(cells[:, 0])
+        cell_x = jnp.asarray(cells[:, 1])
+        for dst in range(g):
+            dy, dx = int(cells[dst, 0]), int(cells[dst, 1])
+            in_dst = ((yy >= dy) & (yy < dy + ch) &
+                      (xx >= dx) & (xx < dx + cw))
+            sy = cell_y[perm[:, dst]][:, None, None]
+            sx = cell_x[perm[:, dst]][:, None, None]
+            map_y = jnp.where(in_dst, yy - dy + sy, map_y)
+            map_x = jnp.where(in_dst, xx - dx + sx, map_x)
+        flat = (map_y * w + map_x).reshape(n, h * w)
+
+        def shuffle(arr):
+            squeeze = arr.ndim == 3
+            a = arr[..., None] if squeeze else arr
+            out = jnp.take_along_axis(a.reshape(n, h * w, a.shape[-1]),
+                                      flat[:, :, None], axis=1)
+            out = out.reshape(a.shape)
+            out = jnp.where(applied[:, None, None, None], out, a)
+            return out[..., 0] if squeeze else out
+
+        batch["image"] = shuffle(img)
+        if batch.get("mask") is not None and "mask" in batch:
+            batch["mask"] = shuffle(batch["mask"])
+        return batch
 
     def get_params(self, sample):
         n = self.grid[0] * self.grid[1]

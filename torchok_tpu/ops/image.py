@@ -77,6 +77,21 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, (n, size[0], size[1], c), method="nearest")
 
 
+def resize_nearest_cv2(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.resize INTER_NEAREST semantics: ``src = floor(dst * src/dst)``,
+    top-left anchored (cv2's historical bias — differs from the pixel-center
+    rule jax.image uses whenever the scale is non-integer). Used by the
+    device transform paths that must reproduce the host cv2 pipeline."""
+    sh, sw = x.shape[-3], x.shape[-2]
+    iy = np.minimum(np.floor(np.arange(size[0]) * (sh / size[0])), sh - 1)
+    ix = np.minimum(np.floor(np.arange(size[1]) * (sw / size[1])), sw - 1)
+    iy = jnp.asarray(iy.astype(np.int32))
+    ix = jnp.asarray(ix.astype(np.int32))
+    axis_h = x.ndim - 3
+    out = jnp.take(x, iy, axis=axis_h)
+    return jnp.take(out, ix, axis=axis_h + 1)
+
+
 @lru_cache(maxsize=None)
 def _adaptive_avg_matrix(src: int, dst: int) -> np.ndarray:
     """(dst, src) averaging matrix with torch AdaptiveAvgPool window

@@ -113,6 +113,43 @@ class BaseTransform:
         raise NotImplementedError
 
 
+def _children_device_capable(transforms, allow_needs_uniform: bool) -> bool:
+    if not transforms:
+        return False
+    for t in transforms:
+        if not t.device_capable:
+            return False
+        if t.device_needs_uniform and not allow_needs_uniform:
+            return False
+    return True
+
+
+def _children_device_bbox_safe(transforms) -> bool:
+    return all(t.device_bbox_safe
+               and not (t.geometric
+                        and type(t).apply_to_bboxes is BaseTransform.apply_to_bboxes)
+               for t in transforms)
+
+
+def _select_batch(base, out, sel, keys=("image", "mask")):
+    """Per-sample select between two batch dicts. Children of a selecting
+    container must preserve shape AND dtype — checked at trace time."""
+    import jax.numpy as jnp
+    merged = dict(base)
+    for k in keys:
+        if k in base and base[k] is not None:
+            a, b = base[k], out[k]
+            if a.shape != b.shape or a.dtype != b.dtype:
+                raise TypeError(
+                    f"device OneOf/SomeOf children must preserve the batch "
+                    f"shape and dtype; '{k}' changed "
+                    f"{a.shape}/{a.dtype} -> {b.shape}/{b.dtype} — keep this "
+                    f"composition on the host path")
+            s = sel.reshape((sel.shape[0],) + (1,) * (a.ndim - 1))
+            merged[k] = jnp.where(s, b, a)
+    return merged
+
+
 @TRANSFORMS.register_class
 class Compose(BaseTransform):
     always_apply = True
@@ -120,6 +157,28 @@ class Compose(BaseTransform):
     def __init__(self, transforms: Sequence[BaseTransform], p: float = 1.0, **_ignored):
         super().__init__(p=p)
         self.transforms = list(transforms)
+
+    # -- nested-container device path: a Compose whose children are all
+    # device-capable is itself device-capable, so pipelines that wrap their
+    # photometric block in Compose/Sequential still move it to the device
+    @property
+    def device_capable(self):
+        return _children_device_capable(self.transforms, allow_needs_uniform=True)
+
+    @property
+    def device_needs_uniform(self):
+        return any(t.device_needs_uniform for t in self.transforms)
+
+    @property
+    def device_bbox_safe(self):
+        return _children_device_bbox_safe(self.transforms)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        keys = jax.random.split(rng, max(len(self.transforms), 1))
+        for t, k in zip(self.transforms, keys):
+            batch = t.apply_batch(batch, k)
+        return batch
 
     def seed(self, seed: int) -> None:
         super().seed(seed)
@@ -173,6 +232,37 @@ class OneOf(BaseTransform):
             return self.transforms[idx](force_apply=True, **sample)
         return dict(sample)
 
+    # -- device path: run every child on the whole batch (forced, like the
+    # host's force_apply=True on the chosen child) and select per sample.
+    # Children must preserve shape+dtype (checked in _select_batch), hence
+    # the needs-uniform exclusion below.
+    @property
+    def device_capable(self):
+        return _children_device_capable(self.transforms, allow_needs_uniform=False)
+
+    @property
+    def device_bbox_safe(self):
+        return _children_device_bbox_safe(self.transforms)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        n = batch["image"].shape[0]
+        keys = jax.random.split(rng, 2 + len(self.transforms))
+        gate = jax.random.uniform(keys[0], (n,)) < self.p
+        probs = None if self.probs is None else jnp.asarray(self.probs)
+        choice = jax.random.choice(keys[1], len(self.transforms), (n,), p=probs)
+        out = dict(batch)
+        for i, t in enumerate(self.transforms):
+            old_p = t.p
+            t.p = 1.0  # trace-time force, mirroring host force_apply=True
+            try:
+                o = t.apply_batch(dict(batch), keys[2 + i])
+            finally:
+                t.p = old_p
+            out = _select_batch(out, o, gate & (choice == i))
+        return out
+
 
 @TRANSFORMS.register_class
 class SomeOf(BaseTransform):
@@ -194,6 +284,31 @@ class SomeOf(BaseTransform):
             for i in idxs:
                 sample = self.transforms[int(i)](**sample)
         return dict(sample)
+
+    # -- device path for the n=1 case only: one uniformly-chosen child per
+    # sample, applied with ITS OWN p (host SomeOf does not force children).
+    # n>1 would need per-sample ordered composition, which has no batched
+    # equivalent — those stay on host.
+    @property
+    def device_capable(self):
+        return self.n == 1 and _children_device_capable(
+            self.transforms, allow_needs_uniform=False)
+
+    @property
+    def device_bbox_safe(self):
+        return _children_device_bbox_safe(self.transforms)
+
+    def apply_batch(self, batch, rng):
+        import jax
+        n = batch["image"].shape[0]
+        keys = jax.random.split(rng, 2 + len(self.transforms))
+        gate = jax.random.uniform(keys[0], (n,)) < self.p
+        choice = jax.random.randint(keys[1], (n,), 0, len(self.transforms))
+        out = dict(batch)
+        for i, t in enumerate(self.transforms):
+            o = t.apply_batch(dict(batch), keys[2 + i])
+            out = _select_batch(out, o, gate & (choice == i))
+        return out
 
 
 @TRANSFORMS.register_class

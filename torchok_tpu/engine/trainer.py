@@ -288,6 +288,13 @@ class Trainer:
                 return ("ndarray", v.shape, str(v.dtype), v.tobytes())
             if isinstance(v, (np.integer, np.floating, np.bool_)):
                 return v.item()
+            from torchok_tpu.data.transforms.base import BaseTransform
+            if isinstance(v, BaseTransform):
+                # containers (OneOf/SomeOf/Compose) hold child transforms —
+                # freeze them recursively so container pipelines still cache
+                return ("transform", type(v).__module__, type(v).__qualname__,
+                        tuple(sorted((k, _freeze(x)) for k, x in vars(v).items()
+                                     if not k.startswith("_"))))
             raise TypeError  # not provably identical — skip caching
 
         parts: list = [train, str(dtype)]

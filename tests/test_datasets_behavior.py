@@ -100,9 +100,20 @@ class TestClassificationDataset:
         # input_dtype governs the final image dtype when the pipeline runs
         # fully on host (reference semantics); on the engine's device path
         # the task compute dtype wins (tested in engine tests). A trailing
-        # host-only op (GridDropout has no device path) keeps the whole
-        # chain on host.
-        cfg = _TRANSFORM_CFG + [{"name": "GridDropout", "params": {"p": 1.0}}]
+        # host-only op keeps the whole chain on host: ImageCompression is a
+        # codec round-trip (libjpeg), which can never run on device — unlike
+        # GridDropout, which grew a device path in round 4 and silently
+        # invalidated this test.
+        host_only = {"name": "ImageCompression",
+                     "params": {"quality_lower": 80, "p": 1.0}}
+        # guard: if device coverage ever reaches this op, the host-dtype
+        # semantics below would no longer be exercised — fail loudly so the
+        # test gets re-anchored to another genuinely host-bound op
+        probe = Constructor._create_transforms([host_only])
+        assert not getattr(probe.transforms[0], "device_capable", False), (
+            "ImageCompression grew a device path; re-anchor "
+            "test_input_dtype_on_host_path to a host-only op")
+        cfg = _TRANSFORM_CFG + [host_only]
         ds = _make("ImageClassificationDataset", data_root, "mc.csv",
                    transform=Constructor._create_transforms(cfg),
                    input_dtype="float16")

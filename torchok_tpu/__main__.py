@@ -11,9 +11,13 @@ import os
 import sys
 
 # Persistent XLA compilation cache: repeated runs of the same recipe skip the
-# (minutes-long on TPU) first-compile cost. Must be set before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/torchok_tpu/jax"))
+# (minutes-long on TPU) first-compile cost. Partitioned by a host CPU
+# fingerprint — XLA:CPU entries embed host-specific AOT code, and loading a
+# foreign host's entries floods the log with cpu_aot_loader errors
+# (torchok_tpu/utils/compile_cache.py).
+from torchok_tpu.utils.compile_cache import cache_dir as _cache_dir
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 
 import jax
 
@@ -76,6 +80,15 @@ def entrypoint(argv=None) -> None:
         except Exception:  # noqa: BLE001 — backend already initialized
             logger.warning("trainer.accelerator=%s requested after jax "
                            "backend init; ignored", accel)
+        if platform == "cpu":
+            # CPU compiles take seconds, and reloading persisted XLA:CPU
+            # executables prints two cpu_aot_loader error lines per load
+            # (the `+prefer-no-scatter/gather` pseudo-features can never
+            # appear in host cpuid) — the cache only pays off on TPU
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:  # noqa: BLE001
+                pass
 
     seed_params = config.get("seed_params")
     if seed_params and seed_params.get("seed") is not None:

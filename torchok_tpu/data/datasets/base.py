@@ -105,8 +105,10 @@ class ImageDataset(ABC):
         # whole pipeline ran on host, apply the cast here.
         if not self.device_pipeline:
             img = sample.get("image")
-            if img is not None and np.issubdtype(np.asarray(img).dtype,
-                                                 np.floating):
+            if img is not None:
+                # unconditional like the reference (`.type(torch.<dtype>)`,
+                # reference torchok/data/datasets/classification/
+                # classification.py:183) — even uint8 pipelines cast;
                 # resolve_np_dtype maps bfloat16 -> f32 for host collation
                 sample["image"] = np.asarray(img).astype(
                     resolve_np_dtype(self.input_dtype))

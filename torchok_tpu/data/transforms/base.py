@@ -36,6 +36,12 @@ class BaseTransform:
     # (batched geometry like Resize) — only moved to device when the dataset
     # declares uniform_image_size
     device_needs_uniform: bool = False
+    # False for device ops whose apply_batch changes the image dtype
+    # (ToFloat/FromFloat/Normalize/ToTensorV2): selecting containers
+    # (OneOf/SomeOf) blend child outputs per sample, which requires every
+    # child to preserve shape AND dtype — such containers stay on the host
+    # path instead of raising at jit-trace time (ADVICE r4)
+    device_preserves_dtype: bool = True
     # True when the op is deterministic (p is ignored / always applied)
     always_apply: bool = False
     # True for ops that change image geometry (resize/crop/flip/warp…): such
@@ -45,9 +51,24 @@ class BaseTransform:
     geometric: bool = False
 
     def __init__(self, always_apply: bool = False, p: float = 0.5):
+        # p is a property over `p_base` (underscore-free so it stays visible
+        # to the trainer's vars()-based pipeline freeze): selecting
+        # containers force children at trace time through a per-thread flag
+        # rather than by mutating shared state (ADVICE r4)
         self.p = 1.0 if (always_apply or self.always_apply) else p
         self._base_seed: Optional[int] = None
         self._local = _threading.local()
+
+    @property
+    def p(self) -> float:
+        local = getattr(self, "_local", None)
+        if local is not None and getattr(local, "force_batch", 0):
+            return 1.0
+        return self.p_base
+
+    @p.setter
+    def p(self, value: float) -> None:
+        self.p_base = float(value)
 
     def seed(self, seed: int) -> None:
         self._base_seed = int(seed)
@@ -113,7 +134,8 @@ class BaseTransform:
         raise NotImplementedError
 
 
-def _children_device_capable(transforms, allow_needs_uniform: bool) -> bool:
+def _children_device_capable(transforms, allow_needs_uniform: bool,
+                             require_dtype_preserving: bool = False) -> bool:
     if not transforms:
         return False
     for t in transforms:
@@ -121,7 +143,24 @@ def _children_device_capable(transforms, allow_needs_uniform: bool) -> bool:
             return False
         if t.device_needs_uniform and not allow_needs_uniform:
             return False
+        if require_dtype_preserving and not t.device_preserves_dtype:
+            return False
     return True
+
+
+def _forced_batch(t: BaseTransform, batch, rng):
+    """Apply a child transform with its gate forced to 1 — the device
+    analogue of the host path's ``force_apply=True`` on a chosen OneOf
+    child. Uses a per-thread counter consulted by the ``p`` property
+    instead of mutating shared ``t.p`` (re-entrant and safe under
+    concurrent retraces of a shared pipeline; ADVICE r4)."""
+    local = t._local
+    prev = getattr(local, "force_batch", 0)
+    local.force_batch = prev + 1
+    try:
+        return t.apply_batch(batch, rng)
+    finally:
+        local.force_batch = prev
 
 
 def _children_device_bbox_safe(transforms) -> bool:
@@ -172,6 +211,10 @@ class Compose(BaseTransform):
     @property
     def device_bbox_safe(self):
         return _children_device_bbox_safe(self.transforms)
+
+    @property
+    def device_preserves_dtype(self):
+        return all(t.device_preserves_dtype for t in self.transforms)
 
     def apply_batch(self, batch, rng):
         import jax
@@ -235,14 +278,21 @@ class OneOf(BaseTransform):
     # -- device path: run every child on the whole batch (forced, like the
     # host's force_apply=True on the chosen child) and select per sample.
     # Children must preserve shape+dtype (checked in _select_batch), hence
-    # the needs-uniform exclusion below.
+    # the needs-uniform AND dtype-preserving exclusions below: a OneOf over
+    # a dtype-changing child (ToFloat/FromFloat/Normalize) simply stays on
+    # the host path instead of raising at trace time.
     @property
     def device_capable(self):
-        return _children_device_capable(self.transforms, allow_needs_uniform=False)
+        return _children_device_capable(self.transforms, allow_needs_uniform=False,
+                                        require_dtype_preserving=True)
 
     @property
     def device_bbox_safe(self):
         return _children_device_bbox_safe(self.transforms)
+
+    @property
+    def device_preserves_dtype(self):
+        return all(t.device_preserves_dtype for t in self.transforms)
 
     def apply_batch(self, batch, rng):
         import jax
@@ -254,12 +304,9 @@ class OneOf(BaseTransform):
         choice = jax.random.choice(keys[1], len(self.transforms), (n,), p=probs)
         out = dict(batch)
         for i, t in enumerate(self.transforms):
-            old_p = t.p
-            t.p = 1.0  # trace-time force, mirroring host force_apply=True
-            try:
-                o = t.apply_batch(dict(batch), keys[2 + i])
-            finally:
-                t.p = old_p
+            # trace-time force, mirroring host force_apply=True on the
+            # chosen child — via the per-thread flag, not by mutating t.p
+            o = _forced_batch(t, dict(batch), keys[2 + i])
             out = _select_batch(out, o, gate & (choice == i))
         return out
 
@@ -292,11 +339,16 @@ class SomeOf(BaseTransform):
     @property
     def device_capable(self):
         return self.n == 1 and _children_device_capable(
-            self.transforms, allow_needs_uniform=False)
+            self.transforms, allow_needs_uniform=False,
+            require_dtype_preserving=True)
 
     @property
     def device_bbox_safe(self):
         return _children_device_bbox_safe(self.transforms)
+
+    @property
+    def device_preserves_dtype(self):
+        return all(t.device_preserves_dtype for t in self.transforms)
 
     def apply_batch(self, batch, rng):
         import jax

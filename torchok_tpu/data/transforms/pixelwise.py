@@ -220,6 +220,7 @@ def _saturate_int(x, dtype, round_half_up=False):
 class Normalize(BaseTransform):
     """Albumentations Normalize: (x - mean*max_pixel) / (std*max_pixel)."""
 
+    device_preserves_dtype = False
     always_apply = True
     device_capable = True
 
@@ -250,6 +251,7 @@ class ToTensorV2(BaseTransform):
     native layout IS HWC, so this is a dtype cast + mask passthrough only
     (the YAML surface keeps the name)."""
 
+    device_preserves_dtype = False
     always_apply = True
     device_capable = True
 
@@ -807,6 +809,7 @@ class RGBShift(BaseTransform):
 
 @TRANSFORMS.register_class
 class ToFloat(BaseTransform):
+    device_preserves_dtype = False
     always_apply = True
     device_capable = True
 
@@ -829,6 +832,7 @@ class ToFloat(BaseTransform):
 
 @TRANSFORMS.register_class
 class FromFloat(BaseTransform):
+    device_preserves_dtype = False
     always_apply = True
     device_capable = True
 

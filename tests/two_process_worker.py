@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--logdir", required=True)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--samples", type=int, default=32)
+    ap.add_argument("--strategy", default=None,
+                    help="trainer.strategy (e.g. fsdp); default dp")
     args = ap.parse_args()
 
     import jax
@@ -101,7 +103,8 @@ def main() -> None:
         },
         "trainer": {"max_epochs": args.epochs, "precision": 32,
                     "log_every_n_steps": 1, "num_nodes": args.world,
-                    "enable_checkpointing": False},
+                    "enable_checkpointing": False,
+                    **({"strategy": args.strategy} if args.strategy else {})},
         "logger": {"name": "CSVLogger", "log_dir": args.logdir,
                    "experiment_name": f"rank{jax.process_index()}"},
         "metrics": [

@@ -994,8 +994,134 @@ class MotionBlur(BaseTransform):
         return batch
 
 
+def _clahe_luts(hist, clip_limit, area):
+    """cv2 CLAHE LUT build from per-tile histograms ``(..., 256)``, bit-exact
+    (probed against cv2.createCLAHE across grids/claps/paddings): clip at
+    max(int(clip*area/256), 1), redistribute the excess (bulk every bin +
+    residual at stride max(256//residual, 1)), then
+    lut = roundHalfEven(cdf * float32(255/area)). ``clip_limit`` broadcasts
+    (per-sample random clip); counts are integer-valued f32 (exact —
+    area <= tile pixels << 2^24)."""
+    limit = jnp.maximum(jnp.trunc(clip_limit * (area / 256.0)), 1.0)
+    hist = hist.astype(jnp.float32)
+    clipped = jnp.minimum(hist, limit)
+    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
+    redist = jnp.floor(excess / 256.0)
+    residual = excess - redist * 256.0
+    hist = clipped + redist
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    i = jnp.arange(256, dtype=jnp.float32)
+    bump = ((i % step) == 0) & ((i / step) < residual)
+    cdf = jnp.cumsum(hist + bump.astype(jnp.float32), axis=-1)
+    return jnp.clip(jnp.round(cdf * np.float32(255.0 / area)), 0, 255)
+
+
+def _clahe_u8(v, clip_limit, grid):
+    """cv2.createCLAHE().apply on a batched u8-valued channel ``v`` (n,h,w),
+    bit-exact vs cv2 (f32 LUT scale, f32 interpolation weights, cvRound):
+    pads bottom/right with reflect-101 by ``tiles - size%tiles`` — a FULL
+    extra tile on a divisible dim when the other is ragged (cv2 quirk) —
+    builds per-tile clipped LUTs and blends the 4 neighbouring tile LUTs
+    bilinearly. ``grid`` is cv2's tileGridSize (tilesX, tilesY);
+    ``clip_limit`` is (n,1,1)-broadcastable."""
+    n, h, w = v.shape
+    gw, gh = int(grid[0]), int(grid[1])
+    if h % gh == 0 and w % gw == 0:
+        vp = v
+    else:
+        vp = _reflect101_pad(v, 1, 0, gh - (h % gh))
+        vp = _reflect101_pad(vp, 2, 0, gw - (w % gw))
+    hp, wp = vp.shape[1], vp.shape[2]
+    th, tw = hp // gh, wp // gw
+    area = th * tw
+    tiles = jnp.transpose(vp.reshape(n, gh, th, gw, tw), (0, 1, 3, 2, 4))
+    flat = tiles.reshape(n * gh * gw, area).astype(jnp.int32)
+    hist = jax.vmap(lambda t: jnp.bincount(t, length=256))(flat)
+    luts = _clahe_luts(hist.reshape(n, gh, gw, 256),
+                       jnp.asarray(clip_limit, jnp.float32).reshape(n, 1, 1, 1),
+                       area)
+    # interpolation coordinates are static (f32 like cv2's inv_th path)
+    tyf = np.arange(h, dtype=np.float32) * np.float32(1.0 / th) \
+        - np.float32(0.5)
+    txf = np.arange(w, dtype=np.float32) * np.float32(1.0 / tw) \
+        - np.float32(0.5)
+    ty1 = np.floor(tyf).astype(np.int64)
+    tx1 = np.floor(txf).astype(np.int64)
+    ya = (tyf - ty1).astype(np.float32)[None, :, None]
+    xa = (txf - tx1).astype(np.float32)[None, None, :]
+    ty1c, ty2c = np.clip(ty1, 0, gh - 1), np.clip(ty1 + 1, 0, gh - 1)
+    tx1c, tx2c = np.clip(tx1, 0, gw - 1), np.clip(tx1 + 1, 0, gw - 1)
+    luts_flat = luts.reshape(n, gh * gw * 256)
+    vi = v.astype(jnp.int32)
+
+    def gather(tyc, txc):
+        base = (tyc[:, None] * gw + txc[None, :]) * 256  # static (h, w)
+        idx = jnp.asarray(base, jnp.int32)[None] + vi
+        out = jnp.take_along_axis(luts_flat, idx.reshape(n, h * w), axis=1)
+        return out.reshape(n, h, w)
+
+    tl, tr = gather(ty1c, tx1c), gather(ty1c, tx2c)
+    bl, br = gather(ty2c, tx1c), gather(ty2c, tx2c)
+    one = np.float32(1.0)
+    res = (tl * (one - xa) + tr * xa) * (one - ya) \
+        + (bl * (one - xa) + br * xa) * ya
+    return jnp.clip(jnp.round(res), 0, 255)
+
+
+def _rgb_to_lab_f(imgf):
+    """cv2 COLOR_RGB2LAB float semantics on a 0..1 tensor: L in [0,100],
+    a/b signed (sRGB linearization — probed: cv2's Lab path gamma-corrects,
+    via a spline LUT, hence the ~0.2 parity bound — then XYZ D65)."""
+    lin = jnp.where(imgf <= 0.04045, imgf / 12.92,
+                    ((imgf + 0.055) / 1.055) ** 2.4)
+    m = np.array([[0.412453, 0.357580, 0.180423],
+                  [0.212671, 0.715160, 0.072169],
+                  [0.019334, 0.119193, 0.950227]], np.float32)
+    xyz = lin @ m.T
+    x = xyz[..., 0] / np.float32(0.950456)
+    y = xyz[..., 1]
+    z = xyz[..., 2] / np.float32(1.088754)
+    t = 0.008856
+
+    def f(v):
+        return jnp.where(v > t, jnp.cbrt(v), 7.787 * v + (16.0 / 116.0))
+
+    fx, fy, fz = f(x), f(y), f(z)
+    ll = jnp.where(y > t, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    return ll, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _lab_f_to_rgb(ll, a, b):
+    """cv2 COLOR_LAB2RGB float semantics (inverse of :func:`_rgb_to_lab_f`),
+    output clipped to [0, 1]."""
+    fy = (ll + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    t = 0.008856
+
+    def finv(fv):
+        return jnp.where(fv ** 3 > t, fv ** 3, (fv - 16.0 / 116.0) / 7.787)
+
+    y = jnp.where(ll > 903.3 * t, fy ** 3, ll / 903.3)
+    x = finv(fx) * np.float32(0.950456)
+    z = finv(fz) * np.float32(1.088754)
+    minv = np.array([[3.240479, -1.53715, -0.498535],
+                     [-0.969256, 1.875991, 0.041556],
+                     [0.055648, -0.204043, 1.057311]], np.float32)
+    lin = jnp.clip(jnp.stack([x, y, z], axis=-1) @ minv.T, 0.0, 1.0)
+    rgb = jnp.where(lin <= 0.0031308, lin * 12.92,
+                    1.055 * lin ** (1.0 / 2.4) - 0.055)  # sRGB encode
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
 @TRANSFORMS.register_class
 class CLAHE(BaseTransform):
+    """Contrast-limited adaptive histogram equalization on the LAB L channel
+    (grayscale images equalize directly). The device path's CLAHE core is
+    bit-exact vs cv2; the LAB round trip uses cv2's float formulas where the
+    host uses cv2's u8 fixed-point tables, so end-to-end parity is
+    tolerance-bounded (~2 LSB for 99%+ of pixels; tests pin it)."""
+
     def __init__(self, clip_limit=4.0, tile_grid_size=(8, 8),
                  always_apply: bool = False, p: float = 0.5, **_):
         super().__init__(always_apply, p)
@@ -1005,9 +1131,42 @@ class CLAHE(BaseTransform):
     def apply(self, image, **params):
         clip = float(self.rng.uniform(*self.clip_limit))
         clahe = cv2.createCLAHE(clipLimit=clip, tileGridSize=self.tile_grid_size)
+        if image.ndim == 2 or image.shape[-1] == 1:
+            out = clahe.apply(image.reshape(image.shape[:2]))
+            return out.reshape(image.shape)
         lab = cv2.cvtColor(image, cv2.COLOR_RGB2LAB)
         lab[..., 0] = clahe.apply(lab[..., 0])
         return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+
+    device_capable = True
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        if img.dtype != jnp.uint8:
+            raise TypeError("CLAHE expects uint8 images (cv2 LAB parity); "
+                            "place it before ToFloat")
+        n, h, w, c = img.shape
+        r_apply, r_clip = jax.random.split(rng)
+        clip = jax.random.uniform(r_clip, (n,), minval=self.clip_limit[0],
+                                  maxval=self.clip_limit[1])
+        if c == 1:
+            x = _clahe_u8(img[..., 0].astype(jnp.float32), clip,
+                          self.tile_grid_size)[..., None]
+        else:
+            inv255 = np.float32(1.0 / 255.0)
+            ll, a, b = _rgb_to_lab_f(img.astype(jnp.float32) * inv255)
+            l8 = jnp.round(ll * np.float32(255.0 / 100.0))
+            a8 = jnp.clip(jnp.round(a) + 128.0, 0, 255)  # host quantizes a/b
+            b8 = jnp.clip(jnp.round(b) + 128.0, 0, 255)
+            l8 = _clahe_u8(l8, clip, self.tile_grid_size)
+            rgb = _lab_f_to_rgb(l8 * np.float32(100.0 / 255.0),
+                                a8 - 128.0, b8 - 128.0)
+            x = jnp.round(rgb * 255.0)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, x, img.astype(jnp.float32)) \
+            .astype(jnp.uint8)
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -2223,8 +2382,97 @@ class Superpixels(BaseTransform):
         return out
 
 
+def _disk_mask(xp, h, w, cy, cx, r):
+    """Center-inside disk rasterization shared by the host (numpy) and
+    device (jnp) weather paths: pixel (y, x) is inside iff
+    (y-cy)^2 + (x-cx)^2 <= r^2. Replaces cv2.circle — whose integer arc
+    fill has no closed form — so both paths agree exactly given the same
+    geometry. ``cy``/``cx``/``r`` may carry leading batch dims; the result
+    is (..., h, w)."""
+    yy = xp.arange(h, dtype=xp.float32).reshape(h, 1)
+    xx = xp.arange(w, dtype=xp.float32).reshape(1, w)
+    cy = xp.asarray(cy, xp.float32)[..., None, None]
+    cx = xp.asarray(cx, xp.float32)[..., None, None]
+    r = xp.asarray(r, xp.float32)[..., None, None]
+    return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+
+def _star_polygon_mask(xp, h, w, pts):
+    """Star-shaped polygon rasterization shared by host and device: the
+    vertices are ordered by angle around their centroid and the triangle
+    fan (centroid, p_i, p_{i+1}) is unioned; a pixel is inside a triangle
+    iff its three edge cross products share a sign. Replaces cv2.fillPoly
+    (no closed form) with math both backends run identically.
+    ``pts`` is (..., D, 2) as (x, y); result (..., h, w)."""
+    c = pts.mean(axis=-2, keepdims=True)
+    ang = xp.arctan2(pts[..., 1] - c[..., 1], pts[..., 0] - c[..., 0])
+    order = xp.argsort(ang, axis=-1)
+    p = xp.take_along_axis(pts, order[..., None], axis=-2)
+    q = xp.roll(p, -1, axis=-2)
+    px = xp.arange(w, dtype=xp.float32).reshape(1, w)
+    py = xp.arange(h, dtype=xp.float32).reshape(h, 1)
+    ax, ay = p[..., 0][..., None, None], p[..., 1][..., None, None]
+    bx, by = q[..., 0][..., None, None], q[..., 1][..., None, None]
+    cx, cy = c[..., 0][..., None, None], c[..., 1][..., None, None]
+    d1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    d2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    d3 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    inside = ((d1 >= 0) & (d2 >= 0) & (d3 >= 0)) \
+        | ((d1 <= 0) & (d2 <= 0) & (d3 <= 0))
+    # zero-area triangles contribute nothing (degenerate/duplicate vertices
+    # would otherwise pass every >=0 AND every <=0 test and flood the mask)
+    area2 = (ax - cx) * (by - cy) - (ay - cy) * (bx - cx)
+    return (inside & (area2 != 0)).any(axis=-3)
+
+
+def _segments_mask(xp, h, w, xs, ys, dx, dy, width, chunk=4):
+    """Rain-streak rasterization shared by host and device: pixel centers
+    within ``width/2`` of the segment (x, y) -> (x+dx, y+dy). Replaces
+    cv2.line. ``xs``/``ys`` are (..., D) drop starts; ``dx`` broadcasts
+    against them (per-sample slant); ``dy``/``width`` are scalars. Drops
+    are processed ``chunk`` at a time to bound the (..., chunk, h, w)
+    temporaries."""
+    px = xp.arange(w, dtype=xp.float32).reshape(1, w)
+    py = xp.arange(h, dtype=xp.float32).reshape(h, 1)
+    xs = xp.asarray(xs, xp.float32)
+    ys = xp.asarray(ys, xp.float32)
+    dxb = xp.broadcast_to(xp.asarray(dx, xp.float32), xs.shape)
+    dy = float(dy)
+    r2 = (float(width) * 0.5) ** 2
+    d = xs.shape[-1]
+    mask = None
+    for lo in range(0, d, chunk):
+        x0 = xs[..., lo:lo + chunk, None, None]
+        y0 = ys[..., lo:lo + chunk, None, None]
+        vx = dxb[..., lo:lo + chunk, None, None]
+        rel_x, rel_y = px - x0, py - y0
+        denom = xp.maximum(vx * vx + dy * dy, 1e-12)  # degenerate segment
+        t = xp.clip((rel_x * vx + rel_y * dy) / denom, 0.0, 1.0)
+        ex = rel_x - t * vx
+        ey = rel_y - t * dy
+        part = ((ex * ex + ey * ey) <= r2).any(axis=-3)
+        mask = part if mask is None else (mask | part)
+    return mask
+
+
+def _gaussian_kernel1d(sigma):
+    """cv2.GaussianBlur(f32, ksize=0, sigma) kernel: ksize derived as
+    round(sigma*8+1)|1, formula taps, normalized."""
+    k = int(round(sigma * 8 + 1)) | 1
+    ax = np.arange(k, dtype=np.float32) - k // 2
+    g = np.exp(-0.5 * (ax / sigma) ** 2)
+    return g / g.sum()
+
+
 @TRANSFORMS.register_class
 class RandomFog(BaseTransform):
+    """Fog = union of random disks Gaussian-blurred into an alpha layer that
+    blends toward white. Disks are rasterized center-inside (_disk_mask) on
+    BOTH paths so host and device agree exactly given the same geometry;
+    the blur reproduces cv2.GaussianBlur's ksize-from-sigma rule."""
+
+    device_capable = True
+
     def __init__(self, fog_coef_lower: float = 0.3, fog_coef_upper: float = 1.0,
                  alpha_coef: float = 0.08, always_apply: bool = False,
                  p: float = 0.5, **_):
@@ -2232,20 +2480,55 @@ class RandomFog(BaseTransform):
         self.fog_coef = (fog_coef_lower, fog_coef_upper)
         self.alpha_coef = alpha_coef
 
+    def _compose(self, xp, img01, fog, coef):
+        alpha = xp.clip(fog * coef * (1 + self.alpha_coef), 0.0, 1.0)
+        return img01 * (1.0 - alpha) + alpha
+
     def apply(self, image, **params):
         coef = float(self.rng.uniform(*self.fog_coef))
         img, was_uint8 = _to_float01(image)
         h, w = img.shape[:2]
-        fog = np.zeros((h, w, 1), np.float32)
+        fog = np.zeros((h, w), np.float32)
         n_blobs = max(1, int(coef * 10))
         for _ in range(n_blobs):
             cy, cx = self.rng.integers(0, h), self.rng.integers(0, w)
             radius = int(max(h, w) * self.rng.uniform(0.1, 0.3) * coef)
-            cv2.circle(fog, (int(cx), int(cy)), radius, 1.0, -1)
+            fog = np.maximum(fog, _disk_mask(np, h, w, cy, cx, radius)
+                             .astype(np.float32))
         fog = cv2.GaussianBlur(fog, (0, 0), sigmaX=max(h, w) * 0.05)[..., None]
-        alpha = np.clip(fog * coef * (1 + self.alpha_coef), 0, 1)
-        out = img * (1 - alpha) + 1.0 * alpha
+        out = self._compose(np, img, fog, coef)
         return _from_float01(out, was_uint8)
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, _ = img.shape
+        is_u8 = img.dtype == jnp.uint8
+        x = img.astype(jnp.float32) / (255.0 if is_u8 else 1.0)
+        kmax = max(1, int(self.fog_coef[1] * 10))
+        r_apply, r_coef, r_cy, r_cx, r_rad = jax.random.split(rng, 5)
+        coef = jax.random.uniform(r_coef, (n,), minval=self.fog_coef[0],
+                                  maxval=self.fog_coef[1])
+        n_blobs = jnp.maximum(1.0, jnp.trunc(coef * 10))  # host: max(1,int())
+        cy = jax.random.randint(r_cy, (n, kmax), 0, h)
+        cx = jax.random.randint(r_cx, (n, kmax), 0, w)
+        rad = jnp.trunc(max(h, w)
+                        * jax.random.uniform(r_rad, (n, kmax), minval=0.1,
+                                             maxval=0.3) * coef[:, None])
+        disks = _disk_mask(jnp, h, w, cy, cx, rad)  # (n, kmax, h, w)
+        active = jnp.arange(kmax)[None, :] < n_blobs[:, None]
+        fog = jnp.max(jnp.where(active[..., None, None], disks, False)
+                      .astype(jnp.float32), axis=1)[..., None]
+        g1 = _gaussian_kernel1d(max(h, w) * 0.05)
+        fog = _fixed_filter2d(fog, g1[None, :])
+        fog = _fixed_filter2d(fog, g1[:, None])
+        y = self._compose(jnp, x, fog, coef[:, None, None, None])
+        if is_u8:
+            y = jnp.clip(y * 255.0, 0, 255)  # host _from_float01: clip+trunc
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, x if not is_u8 else img.astype(jnp.float32))
+        batch["image"] = out.astype(jnp.uint8) if is_u8 else out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -2264,22 +2547,63 @@ class RandomRain(BaseTransform):
         self.brightness_coefficient = brightness_coefficient
         self.rain_type = rain_type
 
+    def _n_drops(self, h):
+        return max({"drizzle": h // 8, "heavy": h // 2, "torrential": h}.get(
+            self.rain_type, h // 3), 1)
+
     def apply(self, image, **params):
+        # streaks are distance-to-segment rasterizations (_segments_mask,
+        # identical math on the device path, replacing cv2.line); blur is a
+        # float box filter rounded half-up; brightness scales HSV-V in the
+        # cv2 u8 convention (trunc after clip)
         h, w = image.shape[:2]
         slant = int(self.rng.integers(self.slant[0], self.slant[1] + 1))
-        n_drops = {"drizzle": h // 8, "heavy": h // 2, "torrential": h}.get(
-            self.rain_type, h // 3)
-        overlay = image.copy()
-        for _ in range(max(n_drops, 1)):
-            x = int(self.rng.integers(0, max(w - self.drop_length, 1)))
-            y = int(self.rng.integers(0, max(h - self.drop_length, 1)))
-            cv2.line(overlay, (x, y), (x + slant, y + self.drop_length),
-                     self.drop_color, self.drop_width)
+        n_drops = self._n_drops(h)
+        xs = self.rng.integers(0, max(w - self.drop_length, 1), n_drops)
+        ys = self.rng.integers(0, max(h - self.drop_length, 1), n_drops)
+        mask = _segments_mask(np, h, w, xs, ys, slant, self.drop_length,
+                              self.drop_width)
+        color = np.asarray(self.drop_color, np.float32)[:image.shape[-1]]
+        overlay = np.where(mask[..., None], color, image.astype(np.float32))
         k = self.blur_value if self.blur_value % 2 else self.blur_value + 1
-        out = cv2.blur(overlay, (k, k))
-        hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV).astype(np.float32)
-        hsv[..., 2] *= self.brightness_coefficient
-        return cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB)
+        blurred = cv2.blur(overlay, (k, k))
+        u8 = np.floor(np.clip(blurred, 0, 255) + 0.5).astype(np.uint8)
+        hsv = cv2.cvtColor(u8, cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 2] = np.clip(hsv[..., 2] * self.brightness_coefficient, 0, 255)
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+    device_capable = True
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        if img.dtype != jnp.uint8:
+            raise TypeError("RandomRain expects uint8 images (cv2 HSV "
+                            "parity); keep it on the host path for floats")
+        n, h, w, _ = img.shape
+        x = img.astype(jnp.float32)
+        n_drops = self._n_drops(h)
+        r_apply, r_slant, r_x, r_y = jax.random.split(rng, 4)
+        slant = jax.random.randint(r_slant, (n, 1), self.slant[0],
+                                   self.slant[1] + 1)
+        xs = jax.random.randint(r_x, (n, n_drops), 0,
+                                max(w - self.drop_length, 1))
+        ys = jax.random.randint(r_y, (n, n_drops), 0,
+                                max(h - self.drop_length, 1))
+        mask = _segments_mask(jnp, h, w, xs, ys, slant, self.drop_length,
+                              self.drop_width)
+        color = jnp.asarray(self.drop_color[:img.shape[-1]], jnp.float32)
+        overlay = jnp.where(mask[..., None], color, x)
+        k = self.blur_value if self.blur_value % 2 else self.blur_value + 1
+        box = np.full((k,), 1.0 / k, np.float32)
+        blurred = _fixed_filter2d(overlay, box[None, :])
+        blurred = _fixed_filter2d(blurred, box[:, None])
+        hh, ss, vv = _rgb_to_hsv_u8(_quantize_u8(blurred))
+        vv = jnp.trunc(jnp.clip(vv * self.brightness_coefficient, 0, 255))
+        y = _quantize_u8(_hsv_u8_to_rgb(hh, ss, vv))
+        m = _bernoulli_mask(r_apply, n, self.p)
+        batch["image"] = jnp.where(m, y, x).astype(jnp.uint8)
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -2293,6 +2617,9 @@ class RandomShadow(BaseTransform):
         self.shadow_dimension = shadow_dimension
 
     def apply(self, image, **params):
+        # shadows are star-shaped polygons (vertices angle-ordered around
+        # their centroid) rasterized by _star_polygon_mask — identical math
+        # on the device path, replacing cv2.fillPoly
         h, w = image.shape[:2]
         x0, y0, x1, y1 = self.shadow_roi
         n = int(self.rng.integers(self.num_shadows[0], self.num_shadows[1] + 1))
@@ -2300,12 +2627,41 @@ class RandomShadow(BaseTransform):
         for _ in range(n):
             pts = np.stack([
                 self.rng.uniform(x0 * w, x1 * w, self.shadow_dimension),
-                self.rng.uniform(y0 * h, y1 * h, self.shadow_dimension)], axis=1)
-            mask = np.zeros((h, w), np.uint8)
-            cv2.fillPoly(mask, [pts.astype(np.int32)], 255)
-            img[mask > 0] *= 0.5
+                self.rng.uniform(y0 * h, y1 * h, self.shadow_dimension)],
+                axis=1).astype(np.float32)
+            mask = _star_polygon_mask(np, h, w, pts)
+            img = np.where(mask[..., None], img * 0.5, img)
         out = np.clip(img, 0, 255)
         return out.astype(np.uint8) if image.dtype == np.uint8 else out
+
+    device_capable = True
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, _ = img.shape
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        x = img.astype(jnp.float32)
+        kmax = max(self.num_shadows[1], 1)
+        dim = self.shadow_dimension
+        x0, y0, x1, y1 = self.shadow_roi
+        r_apply, r_n, r_px, r_py = jax.random.split(rng, 4)
+        n_sh = jax.random.randint(r_n, (n,), self.num_shadows[0],
+                                  self.num_shadows[1] + 1)
+        pxs = jax.random.uniform(r_px, (n, kmax, dim), minval=x0 * w,
+                                 maxval=x1 * w)
+        pys = jax.random.uniform(r_py, (n, kmax, dim), minval=y0 * h,
+                                 maxval=y1 * h)
+        masks = _star_polygon_mask(jnp, h, w,
+                                   jnp.stack([pxs, pys], axis=-1))
+        active = jnp.arange(kmax)[None, :] < n_sh[:, None]
+        covered = jnp.sum(masks & active[..., None, None], axis=1)  # (n,h,w)
+        # host applies *= 0.5 per covering shadow, so the factor compounds
+        y = jnp.clip(x * (0.5 ** covered)[..., None], 0, 255)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, x)
+        batch["image"] = out.astype(img.dtype) if is_int else out
+        return batch
 
 
 @TRANSFORMS.register_class
@@ -2370,28 +2726,86 @@ class RandomSunFlare(BaseTransform):
         self.src_radius = src_radius
         self.src_color = tuple(src_color)
 
+    def _rbounds(self):
+        lo = self.src_radius // 10
+        return lo, max(self.src_radius // 3, lo + 1)
+
     def apply(self, image, **params):
+        # flare circles are center-inside disks (_disk_mask — identical math
+        # on the device path, replacing cv2.circle), blended sequentially;
+        # the main source is a blurred disk
         h, w = image.shape[:2]
+        c = image.shape[-1]
+        color = np.asarray(self.src_color, np.float32)[:c]
         x0, y0, x1, y1 = self.flare_roi
         cx = int(self.rng.uniform(x0 * w, max(x1 * w, x0 * w + 1)))
         cy = int(self.rng.uniform(y0 * h, max(y1 * h, y0 * h + 1)))
         overlay = image.astype(np.float32)
         n = int(self.rng.integers(self.num_circles[0], self.num_circles[1] + 1))
+        rlo, rhi = self._rbounds()
         for i in range(n):
-            r = int(self.rng.integers(self.src_radius // 10, self.src_radius // 3))
+            r = int(self.rng.integers(rlo, rhi))
             alpha = self.rng.uniform(0.05, 0.2)
-            circle = np.zeros_like(overlay)
             ox = cx + int(self.rng.integers(-w // 4, w // 4 + 1))
             oy = cy + int(self.rng.integers(-h // 4, h // 4 + 1))
-            cv2.circle(circle, (ox, oy), r, self.src_color, -1)
-            overlay = overlay * (1 - alpha) + circle * alpha
-        # main flare source
-        flare = np.zeros_like(overlay)
-        cv2.circle(flare, (cx, cy), min(self.src_radius, max(h, w) // 2),
-                   self.src_color, -1)
+            disk = _disk_mask(np, h, w, oy, ox, r)[..., None]
+            overlay = overlay * (1 - alpha) + np.where(disk, color, 0.0) * alpha
+        flare = np.where(
+            _disk_mask(np, h, w, cy, cx,
+                       min(self.src_radius, max(h, w) // 2))[..., None],
+            color, 0.0)
         flare = cv2.GaussianBlur(flare, (0, 0), sigmaX=self.src_radius / 4 + 1)
+        if flare.ndim == 2:  # cv2 squeezes single-channel
+            flare = flare[..., None]
         out = np.clip(overlay + flare * 0.5, 0, 255)
         return out.astype(np.uint8) if image.dtype == np.uint8 else out
+
+    device_capable = True
+
+    def apply_batch(self, batch, rng):
+        batch = dict(batch)
+        img = batch["image"]
+        n, h, w, c = img.shape
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        x = img.astype(jnp.float32)
+        color = jnp.asarray(self.src_color[:c], jnp.float32)
+        kmax = max(self.num_circles[1], 1)
+        x0, y0, x1, y1 = self.flare_roi
+        keys = jax.random.split(rng, 8)
+        r_apply, r_cx, r_cy, r_n, r_r, r_a, r_ox, r_oy = keys
+        cx = jnp.trunc(jax.random.uniform(r_cx, (n,), minval=x0 * w,
+                                          maxval=max(x1 * w, x0 * w + 1)))
+        cy = jnp.trunc(jax.random.uniform(r_cy, (n,), minval=y0 * h,
+                                          maxval=max(y1 * h, y0 * h + 1)))
+        n_circ = jax.random.randint(r_n, (n,), self.num_circles[0],
+                                    self.num_circles[1] + 1)
+        rlo, rhi = self._rbounds()
+        rad = jax.random.randint(r_r, (n, kmax), rlo, rhi)
+        alpha = jax.random.uniform(r_a, (n, kmax), minval=0.05, maxval=0.2)
+        ox = cx[:, None] + jax.random.randint(r_ox, (n, kmax),
+                                              -(w // 4), w // 4 + 1)
+        oy = cy[:, None] + jax.random.randint(r_oy, (n, kmax),
+                                              -(h // 4), h // 4 + 1)
+        active = jnp.arange(kmax)[None, :] < n_circ[:, None]
+        a = jnp.where(active, alpha, 0.0)  # inactive circle = no-op blend
+        overlay = x
+        for i in range(kmax):  # sequential like the host (order matters)
+            disk = _disk_mask(jnp, h, w, oy[:, i], ox[:, i], rad[:, i])
+            ai = a[:, i][:, None, None, None]
+            overlay = overlay * (1 - ai) \
+                + jnp.where(disk[..., None], color, 0.0) * ai
+        flare = jnp.where(
+            _disk_mask(jnp, h, w, cy, cx,
+                       min(self.src_radius, max(h, w) // 2))[..., None],
+            color, 0.0)
+        g1 = _gaussian_kernel1d(self.src_radius / 4 + 1)
+        flare = _fixed_filter2d(flare, g1[None, :])
+        flare = _fixed_filter2d(flare, g1[:, None])
+        y = jnp.clip(overlay + flare * 0.5, 0, 255)
+        m = _bernoulli_mask(r_apply, n, self.p)
+        out = jnp.where(m, y, x)
+        batch["image"] = out.astype(img.dtype) if is_int else out
+        return batch
 
 
 @TRANSFORMS.register_class

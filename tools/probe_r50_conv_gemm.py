@@ -1,0 +1,118 @@
+"""Probe: ResNet-50's missing in-conv MXU efficiency (VERDICT r4 #5).
+
+Round-3 xplane attribution parked ResNet-50 at 31% MFU with in-conv MXU
+efficiency ~60% and no probe of the conv itself. Hypothesis under test:
+the 3x3 stride-1 bottleneck convs contract over Cin = 64/128/256/512; at
+Cin=64 the 128-deep MXU runs at <=50% K-occupancy, and XLA's conv may not
+recover it. An implicit-GEMM Pallas kernel that materializes im2col in
+VMEM lifts K to 9*Cin (576+), filling the MXU contraction depth.
+
+Two measurements per bottleneck 3x3 shape (bs 256, bf16 in/out, f32 acc):
+  1. XLA lax.conv in isolation  -> TF/s (how bad is each shape really?)
+  2. Pallas implicit-GEMM       -> TF/s + speedup
+
+Grid: one image per cell (56^2 im2col = 3.6 MB bf16, fits VMEM).
+Run ON TPU:   python tools/probe_r50_conv_gemm.py
+CPU numerics: TORCHOK_PROBE_INTERPRET=1 python tools/probe_r50_conv_gemm.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/torchok_tpu/jax"))
+
+INTERPRET = os.environ.get("TORCHOK_PROBE_INTERPRET", "0") == "1"
+
+import jax
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _kernel(x_ref, w_ref, o_ref, xpad, col, *, h, w, cin):
+    """One image per grid cell: zero-pad into VMEM scratch, build the
+    (h*w, 9*cin) im2col in VMEM (9 shifted copies), one MXU matmul with
+    contraction depth 9*cin."""
+    xpad[...] = jnp.zeros((h + 2, w + 2, cin), x_ref.dtype)
+    xpad[1:1 + h, 1:1 + w, :] = x_ref[0]
+    for dy in range(3):
+        for dx in range(3):
+            tap = dy * 3 + dx
+            col[:, tap * cin:(tap + 1) * cin] = \
+                xpad[dy:dy + h, dx:dx + w, :].reshape(h * w, cin)
+    acc = jnp.dot(col[...], w_ref[...].reshape(9 * cin, -1),
+                  preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(h, w, -1).astype(o_ref.dtype)
+
+
+def pallas_conv(x, w):
+    n, h, ww, cin = x.shape
+    cout = w.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_kernel, h=h, w=ww, cin=cin),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, ww, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, ww, cout), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, ww, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, ww + 2, cin), x.dtype),
+            pltpu.VMEM((h * ww, 9 * cin), x.dtype),
+        ],
+        interpret=INTERPRET,
+    )(x, w)
+
+
+def bench(fn, *args, iters=30):
+    out = fn(*args)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    # ResNet-50 bottleneck 3x3 shapes (stage, spatial, channels)
+    cases = [(256, 56, 64), (256, 28, 128), (256, 14, 256), (256, 7, 512)]
+    if INTERPRET:
+        cases = [(2, 9, 16), (2, 8, 24)]
+    rng = np.random.default_rng(0)
+    for n, hw, c in cases:
+        x = jnp.asarray(rng.normal(size=(n, hw, hw, c)) * 0.5, jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, jnp.bfloat16)
+        fx = jax.jit(xla_conv)
+        fp = jax.jit(pallas_conv)
+        ox = np.asarray(fx(x, w), np.float32)
+        op = np.asarray(fp(x, w), np.float32)
+        rel = np.abs(ox - op).max() / max(np.abs(ox).max(), 1e-6)
+        print(f"{hw}x{hw}x{c}: max rel diff {rel:.4f}")
+        if INTERPRET:
+            assert rel < 0.05, "numerics mismatch"
+            continue
+        tx = bench(fx, x, w)
+        tp = bench(fp, x, w)
+        flops = 2 * n * hw * hw * 9 * c * c
+        print(f"  XLA   : {tx * 1e3:8.3f} ms  ({flops / tx / 1e12:6.1f} TF/s)")
+        print(f"  Pallas: {tp * 1e3:8.3f} ms  ({flops / tp / 1e12:6.1f} TF/s)"
+              f"   speedup x{tx / tp:.3f}")
+
+
+if __name__ == "__main__":
+    main()

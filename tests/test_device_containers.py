@@ -25,8 +25,15 @@ def _mk(name, **kw):
 
 def test_oneof_device_capable_gates():
     assert _mk("OneOf", transforms=[_mk("InvertImg"), _mk("ToGray")]).device_capable
-    # CLAHE has no device path
-    assert not _mk("OneOf", transforms=[_mk("InvertImg"), _mk("CLAHE")]).device_capable
+    # round 5 gave CLAHE a device path — it no longer blocks a container
+    assert _mk("OneOf", transforms=[_mk("InvertImg"), _mk("CLAHE")]).device_capable
+    # ImageCompression is a codec round-trip (libjpeg): can never run on
+    # device, so it anchors the host-only case (same guard pattern as
+    # tests/test_datasets_behavior.py::test_input_dtype_on_host_path)
+    host_only = _mk("ImageCompression")
+    assert not getattr(host_only, "device_capable", False)
+    assert not _mk("OneOf",
+                   transforms=[_mk("InvertImg"), host_only]).device_capable
     # Resize needs uniform shapes / changes shape -> excluded from selection
     assert not _mk("OneOf", transforms=[
         _mk("Resize", height=8, width=8)]).device_capable
@@ -104,12 +111,12 @@ def test_nested_compose_device_applies_in_order():
 
 def test_split_device_suffix_includes_containers():
     pipe = _mk("Compose", transforms=[
-        _mk("CLAHE"),  # host-only
+        _mk("ImageCompression"),  # codec: genuinely host-only
         _mk("OneOf", transforms=[_mk("InvertImg"), _mk("Solarize")]),
         _mk("Normalize"),
     ])
     host, device = pipe.split_device_suffix()
-    assert [type(t).__name__ for t in host.transforms] == ["CLAHE"]
+    assert [type(t).__name__ for t in host.transforms] == ["ImageCompression"]
     assert [type(t).__name__ for t in device] == ["OneOf", "Normalize"]
 
 

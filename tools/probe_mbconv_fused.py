@@ -45,11 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 def make_params(rng, cin, mid, rd, k, dtype=jnp.bfloat16):
     def g(*shape):
         return jnp.asarray(rng.normal(size=shape) * 0.05, dtype)
+    # per-channel vectors carried as (1, C): Mosaic handles lane-aligned 2D
+    # operands much better than rank-1
     return dict(
-        w_exp=g(cin, mid), s1=g(mid), b1=g(mid),
-        w_dw=g(k, k, mid), s2=g(mid), b2=g(mid),
-        w_se1=g(mid, rd), b_se1=g(rd), w_se2=g(rd, mid), b_se2=g(mid),
-        w_proj=g(mid, cin), s3=g(cin), b3=g(cin),
+        w_exp=g(cin, mid), s1=g(1, mid), b1=g(1, mid),
+        w_dw=g(k, k, mid), s2=g(1, mid), b2=g(1, mid),
+        w_se1=g(mid, rd), b_se1=g(1, rd), w_se2=g(rd, mid), b_se2=g(1, mid),
+        w_proj=g(mid, cin), s3=g(1, cin), b3=g(1, cin),
     )
 
 
@@ -93,7 +95,8 @@ def _kernel(x_ref, w_exp, s1, b1, w_dw, s2, b2, w_se1, b_se1, w_se2, b_se2,
     for dy in range(k):
         for dx in range(k):
             acc += apad[dy:dy + h, dx:dx + w, :] * wdw[dy, dx, :]
-    a = acc * s2[...].astype(jnp.float32) + b2[...].astype(jnp.float32)
+    a = acc * s2[...].astype(jnp.float32).reshape(1, 1, mid) \
+        + b2[...].astype(jnp.float32).reshape(1, 1, mid)
     a = a * jax.nn.sigmoid(a)
     se = jnp.mean(a.reshape(h * w, mid), axis=0, keepdims=True)  # (1, mid)
     r = jnp.dot(se, w_se1[...].astype(jnp.float32),
@@ -154,8 +157,12 @@ def main():
     if INTERPRET:
         cases = [("tiny_8x8_mid48_k3", 2, 8, 16, 48, 8, 3),
                  ("tiny_9x7_mid40_k5", 2, 9, 24, 40, 8, 5)]
+    only = os.environ.get("TORCHOK_PROBE_CASES")
+    if only:
+        cases = [c for c in cases if c[0] in only.split(",")]
     rng = np.random.default_rng(0)
     for name, n, hw, cin, mid, rd, k in cases:
+        print(f"--- {name}: tracing/compiling", flush=True)
         x = jnp.asarray(rng.normal(size=(n, hw, hw, cin)) * 0.5, jnp.bfloat16)
         p = make_params(rng, cin, mid, rd, k)
         fx = jax.jit(functools.partial(xla_block))
@@ -164,7 +171,7 @@ def main():
         op = np.asarray(fp(x, p), np.float32)
         err = np.abs(ox - op).max()
         rel = err / max(np.abs(ox).max(), 1e-6)
-        print(f"{name}: max abs diff {err:.4f} (rel {rel:.4f})")
+        print(f"{name}: max abs diff {err:.4f} (rel {rel:.4f})", flush=True)
         if INTERPRET:
             assert rel < 0.05, "numerics mismatch"
             continue

@@ -25,6 +25,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/torchok_tpu/jax"))
 
 INTERPRET = os.environ.get("TORCHOK_PROBE_INTERPRET", "0") == "1"
+XLA_ONLY = os.environ.get("TORCHOK_PROBE_XLA_ONLY", "0") == "1"  # flag A/Bs
 
 import jax
 if INTERPRET:
@@ -42,37 +43,40 @@ def xla_conv(x, w):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _kernel(x_ref, w_ref, o_ref, xpad, col, *, h, w, cin):
-    """One image per grid cell: zero-pad into VMEM scratch, build the
-    (h*w, 9*cin) im2col in VMEM (9 shifted copies), one MXU matmul with
-    contraction depth 9*cin."""
-    xpad[...] = jnp.zeros((h + 2, w + 2, cin), x_ref.dtype)
-    xpad[1:1 + h, 1:1 + w, :] = x_ref[0]
-    for dy in range(3):
-        for dx in range(3):
-            tap = dy * 3 + dx
-            col[:, tap * cin:(tap + 1) * cin] = \
-                xpad[dy:dy + h, dx:dx + w, :].reshape(h * w, cin)
+def _kernel(x_ref, w_ref, o_ref, xpad, col, *, g, h, w, cin):
+    """``g`` images per grid cell: zero-pad each into VMEM scratch, build
+    the (g*h*w, 9*cin) im2col (9 shifted copies per image), one MXU matmul
+    with M = g*h*w rows and contraction depth 9*cin."""
+    for i in range(g):
+        xpad[i, ...] = jnp.zeros((h + 2, w + 2, cin), x_ref.dtype)
+        xpad[i, 1:1 + h, 1:1 + w, :] = x_ref[i]
+        for dy in range(3):
+            for dx in range(3):
+                tap = dy * 3 + dx
+                col[i * h * w:(i + 1) * h * w,
+                    tap * cin:(tap + 1) * cin] = \
+                    xpad[i, dy:dy + h, dx:dx + w, :].reshape(h * w, cin)
     acc = jnp.dot(col[...], w_ref[...].reshape(9 * cin, -1),
                   preferred_element_type=jnp.float32)
-    o_ref[0] = acc.reshape(h, w, -1).astype(o_ref.dtype)
+    o_ref[...] = acc.reshape(g, h, w, -1).astype(o_ref.dtype)
 
 
-def pallas_conv(x, w):
+def pallas_conv(x, w, g=1):
     n, h, ww, cin = x.shape
     cout = w.shape[-1]
+    assert n % g == 0
     return pl.pallas_call(
-        functools.partial(_kernel, h=h, w=ww, cin=cin),
-        grid=(n,),
+        functools.partial(_kernel, g=g, h=h, w=ww, cin=cin),
+        grid=(n // g,),
         in_specs=[
-            pl.BlockSpec((1, h, ww, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, h, ww, cin), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, ww, cout), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((g, h, ww, cout), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, ww, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, ww + 2, cin), x.dtype),
-            pltpu.VMEM((h * ww, 9 * cin), x.dtype),
+            pltpu.VMEM((g, h + 2, ww + 2, cin), x.dtype),
+            pltpu.VMEM((g * h * ww, 9 * cin), x.dtype),
         ],
         interpret=INTERPRET,
     )(x, w)
@@ -89,26 +93,34 @@ def bench(fn, *args, iters=30):
 
 
 def main():
-    # ResNet-50 bottleneck 3x3 shapes (stage, spatial, channels)
-    cases = [(256, 56, 64), (256, 28, 128), (256, 14, 256), (256, 7, 512)]
+    # ResNet-50 bottleneck 3x3 shapes + images-per-grid-cell G (round-5b:
+    # G>1 batches M = G*HW rows per matmul — the per-image M=HW cells
+    # underutilized the MXU on the small-spatial shapes)
+    cases = [(256, 56, 64, 1), (256, 28, 128, 2), (256, 14, 256, 8),
+             (256, 7, 512, 16)]
     if INTERPRET:
-        cases = [(2, 9, 16), (2, 8, 24)]
+        cases = [(2, 9, 16, 1), (2, 8, 24, 2)]
     rng = np.random.default_rng(0)
-    for n, hw, c in cases:
+    for n, hw, c, g in cases:
         x = jnp.asarray(rng.normal(size=(n, hw, hw, c)) * 0.5, jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.05, jnp.bfloat16)
         fx = jax.jit(xla_conv)
-        fp = jax.jit(pallas_conv)
+        flops = 2 * n * hw * hw * 9 * c * c
+        if XLA_ONLY:
+            tx = bench(fx, x, w)
+            print(f"{hw}x{hw}x{c}: XLA {tx * 1e3:8.3f} ms "
+                  f"({flops / tx / 1e12:6.1f} TF/s)", flush=True)
+            continue
+        fp = jax.jit(functools.partial(pallas_conv, g=g))
         ox = np.asarray(fx(x, w), np.float32)
         op = np.asarray(fp(x, w), np.float32)
         rel = np.abs(ox - op).max() / max(np.abs(ox).max(), 1e-6)
-        print(f"{hw}x{hw}x{c}: max rel diff {rel:.4f}")
+        print(f"{hw}x{hw}x{c} (G={g}): max rel diff {rel:.4f}", flush=True)
         if INTERPRET:
             assert rel < 0.05, "numerics mismatch"
             continue
         tx = bench(fx, x, w)
         tp = bench(fp, x, w)
-        flops = 2 * n * hw * hw * 9 * c * c
         print(f"  XLA   : {tx * 1e3:8.3f} ms  ({flops / tx / 1e12:6.1f} TF/s)")
         print(f"  Pallas: {tp * 1e3:8.3f} ms  ({flops / tp / 1e12:6.1f} TF/s)"
               f"   speedup x{tx / tp:.3f}")

@@ -52,7 +52,7 @@ import threading
 # the JSON line alive no matter what:
 #   1. init watchdog — a dead TPU tunnel hangs jax.devices() forever; emit an
 #      error JSON after 300 s instead of wedging.
-#   2. total-runtime watchdog — after TORCHOK_BENCH_BUDGET_S (default 1200 s,
+#   2. total-runtime watchdog — after TORCHOK_BENCH_BUDGET_S (default 900 s,
 #      well inside driver timeouts) a daemon thread prints the JSON with
 #      whatever has been measured so far and exits 0. Works even when the
 #      main thread is stuck inside a blocking XLA call.
@@ -62,7 +62,9 @@ import threading
 # a lock, so a mid-extras timeout still records the headline number.
 # ---------------------------------------------------------------------------
 
-BENCH_BUDGET_S = float(os.environ.get("TORCHOK_BENCH_BUDGET_S", "1200"))
+BENCH_BUDGET_S = float(os.environ.get("TORCHOK_BENCH_BUDGET_S", "900"))
+# 900 + 120 grace emits by ~17 min: the round-4 driver kill (BENCH_r04 rc=124)
+# happened with only the init warning printed, so its timeout may be ~20 min
 _T_START = time.monotonic()
 
 _result_lock = threading.Lock()

@@ -10,6 +10,7 @@ best ckpt to ~/.cache/torchok_tpu/toydet/ckpt):
 """
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -41,7 +42,9 @@ def main() -> int:
     from torchok_tpu.constructor.config_structure import merge_structured
     from torchok_tpu.constructor.runner import create_trainer
 
-    ckpt_dir = Path.home() / ".cache/torchok_tpu/toydet/ckpt"
+    ckpt_dir = Path(os.environ.get(
+        "TORCHOK_DETR_CKPT_DIR",
+        str(Path.home() / ".cache/torchok_tpu/toydet/ckpt")))
     ckpts = sorted(ckpt_dir.glob("*.ckpt"), key=lambda p: p.stat().st_mtime)
     if not ckpts:
         print(f"no checkpoints under {ckpt_dir}; run the detr recipe first")

@@ -44,18 +44,24 @@ def xla_conv(x, w):
 
 
 def _kernel(x_ref, w_ref, o_ref, xpad, col, *, g, h, w, cin):
-    """``g`` images per grid cell: zero-pad each into VMEM scratch, build
-    the (g*h*w, 9*cin) im2col (9 shifted copies per image), one MXU matmul
-    with M = g*h*w rows and contraction depth 9*cin."""
+    """``g`` images per grid cell, stacked along the padded ROW axis so the
+    scratch stays rank-3 with static slices only (the rank-4 scalar-indexed
+    variant wedged the remote Mosaic compile): image i lives at rows
+    [i*(h+2)+1, i*(h+2)+1+h) of a (g*(h+2), w+2, cin) scratch, its 9
+    im2col taps are static rank-3 windows, and one MXU matmul runs with
+    M = g*h*w rows and contraction depth 9*cin."""
+    hp = h + 2
+    xpad[...] = jnp.zeros((g * hp, w + 2, cin), x_ref.dtype)
     for i in range(g):
-        xpad[i, ...] = jnp.zeros((h + 2, w + 2, cin), x_ref.dtype)
-        xpad[i, 1:1 + h, 1:1 + w, :] = x_ref[i]
+        xpad[i * hp + 1:i * hp + 1 + h, 1:1 + w, :] = x_ref[i]
+    for i in range(g):
         for dy in range(3):
             for dx in range(3):
                 tap = dy * 3 + dx
                 col[i * h * w:(i + 1) * h * w,
                     tap * cin:(tap + 1) * cin] = \
-                    xpad[i, dy:dy + h, dx:dx + w, :].reshape(h * w, cin)
+                    xpad[i * hp + dy:i * hp + dy + h,
+                         dx:dx + w, :].reshape(h * w, cin)
     acc = jnp.dot(col[...], w_ref[...].reshape(9 * cin, -1),
                   preferred_element_type=jnp.float32)
     o_ref[...] = acc.reshape(g, h, w, -1).astype(o_ref.dtype)
@@ -75,7 +81,7 @@ def pallas_conv(x, w, g=1):
         out_specs=pl.BlockSpec((g, h, ww, cout), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, ww, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((g, h + 2, ww + 2, cin), x.dtype),
+            pltpu.VMEM((g * (h + 2), ww + 2, cin), x.dtype),
             pltpu.VMEM((g * h * ww, 9 * cin), x.dtype),
         ],
         interpret=INTERPRET,
@@ -96,10 +102,15 @@ def main():
     # ResNet-50 bottleneck 3x3 shapes + images-per-grid-cell G (round-5b:
     # G>1 batches M = G*HW rows per matmul — the per-image M=HW cells
     # underutilized the MXU on the small-spatial shapes)
+    # 7^2 caps at G=8: the G=16 scratch (col 14.4 MB + operand double
+    # buffers) blew the 16 MB scoped-VMEM limit on v5e.
     cases = [(256, 56, 64, 1), (256, 28, 128, 2), (256, 14, 256, 8),
-             (256, 7, 512, 16)]
+             (256, 7, 512, 8)]
     if INTERPRET:
         cases = [(2, 9, 16, 1), (2, 8, 24, 2)]
+    only_hw = os.environ.get("TORCHOK_PROBE_HW")  # e.g. "7" reruns one case
+    if only_hw:
+        cases = [c for c in cases if c[1] == int(only_hw)]
     rng = np.random.default_rng(0)
     for n, hw, c, g in cases:
         x = jnp.asarray(rng.normal(size=(n, hw, hw, c)) * 0.5, jnp.bfloat16)

@@ -217,11 +217,13 @@ def build_trainer(backbone: str, hw: int, batch_size: int,
 
 def bench_case(backbone: str, hw: int, batch_size: int, k: int, reps: int,
                warmup_reps: int = 2, num_classes: int = 1000,
-               pooling_name: str = "Pooling", neck_name: str = None):
+               pooling_name: str = "Pooling", neck_name: str = None,
+               backbone_extra: dict = None):
     """Measure sustained train throughput with a fused k-step lax.scan (one
     host dispatch per k optimizer steps — per-step dispatch through the
     tunnel jitters 2-4x) and MFU from XLA's cost analysis of the step."""
     trainer, task = build_trainer(backbone, hw, batch_size, num_classes,
+                                  backbone_extra=backbone_extra,
                                   pooling_name=pooling_name,
                                   neck_name=neck_name)
     train_step = trainer._make_train_step(task, trainer.tx)

@@ -29,6 +29,11 @@ CASES = {
                                         k=10, reps=3, pooling_name=None),
     "gcvit_tiny_256": lambda: bench_case("gcvit_tiny", 224, 256, k=10, reps=3),
     "davit_t_256": lambda: bench_case("davit_t", 224, 256, k=10, reps=3),
+    # bs 256 does not fit without remat (bench.py note); grad_checkpointing
+    # trades recompute for batch — does img/s beat the bs-128 no-remat row?
+    "swinv2_tiny_256_remat": lambda: bench_case(
+        "swinv2_tiny_window8_256", 256, 256, k=10, reps=3,
+        backbone_extra={"grad_checkpointing": True}),
 }
 
 

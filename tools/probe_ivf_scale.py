@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-meter", action="store_true",
+                    help="index-only run (the meter leg is O(rows^2/cells) "
+                    "and dominates past ~500k rows)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -108,6 +111,8 @@ def main() -> None:
     }
     print("IVF_SCALE " + json.dumps(row), flush=True)
 
+    if args.skip_meter:
+        return
     # integration path: the real meter with exact_index=False at a gallery
     # size past the production ivf_threshold (classification mode: every row
     # is both query and gallery, self-match removed) — exercises chunked

@@ -52,6 +52,9 @@ def main() -> None:
     ap.add_argument("--skip-meter", action="store_true",
                     help="index-only run (the meter leg is O(rows^2/cells) "
                     "and dominates past ~500k rows)")
+    ap.add_argument("--nprobe", type=int, default=None,
+                    help="override IvfIndex's default (8) — recall/latency "
+                    "tradeoff sweeps at large nlist")
     args = ap.parse_args()
 
     if args.cpu:
@@ -85,7 +88,8 @@ def main() -> None:
     print(f"exact search: {t_exact:.2f}s", flush=True)
 
     t0 = time.perf_counter()
-    ivf = IvfIndex(gallery, metric="IP")
+    kw = {} if args.nprobe is None else {"nprobe": args.nprobe}
+    ivf = IvfIndex(gallery, metric="IP", **kw)
     t_build = time.perf_counter() - t0
     counts = np.asarray((ivf.members >= 0).sum(axis=1))
     t0 = time.perf_counter()

@@ -39,7 +39,7 @@ class IndexBasedMeter(Metric):
                  normalize_vectors: bool = False, group_averaging: bool = False,
                  raise_empty_query: bool = True,
                  ivf_threshold: int = 200_000, ivf_nlist: Optional[int] = None,
-                 ivf_nprobe: int = 8, **kwargs):
+                 ivf_nprobe: Optional[int] = None, **kwargs):
         super().__init__(**kwargs)
         if dataset_type not in DATASET_TYPES:
             raise ValueError(f"dataset_type must be one of {DATASET_TYPES}")

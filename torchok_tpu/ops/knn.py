@@ -197,6 +197,11 @@ class IvfIndex:
 
     Note one deliberate divergence: ``nprobe`` defaults to 8, not faiss's 1
     — on TPU the probe matmul is cheap and recall at nprobe=1 is poor.
+    Past ~200k rows the default scales as ``max(8, round(nlist / 224))`` so
+    the probed mass fraction (and hence recall) stays roughly constant:
+    measured at 1M×64 on v5e, nprobe 8 → recall@10 0.82 while the scaled 18
+    ≈ the 200k fraction and 32 recovers 0.978 at 6.5 s for 2048 queries
+    (`tools/probe_ivf_scale.py`).
     """
 
     # per-search-block candidate-gather budget: bounds the (B, nprobe*cap, D)
@@ -204,7 +209,7 @@ class IvfIndex:
     _GATHER_BUDGET_BYTES = 256 * 1024 * 1024
 
     def __init__(self, vectors: np.ndarray, metric: str = "IP",
-                 nlist: Optional[int] = None, nprobe: int = 8,
+                 nlist: Optional[int] = None, nprobe: Optional[int] = None,
                  n_iter: int = 10, query_block: int = 256, seed: int = 0,
                  cell_cap_factor: float = 8.0):
         assert metric in ("IP", "L2")
@@ -215,6 +220,10 @@ class IvfIndex:
         # (torchok/metrics/index_base_metric.py:539)
         self.nlist = int(nlist) if nlist else max(1, 4 * int(np.ceil(n ** 0.5)))
         self.nlist = min(self.nlist, n)
+        if nprobe is None:
+            # constant probed mass fraction: 8/1792 at the 200k production
+            # threshold; identical to the old fixed 8 for nlist <= 1792
+            nprobe = max(8, round(self.nlist / 224))
         self.nprobe = max(1, min(nprobe, self.nlist))
         self.query_block = query_block
         self.gallery = jnp.asarray(vectors)

@@ -67,7 +67,11 @@ BENCH_BUDGET_S = float(os.environ.get("TORCHOK_BENCH_BUDGET_S", "900"))
 # happened with only the init warning printed, so its timeout may be ~20 min
 _T_START = time.monotonic()
 
-_result_lock = threading.Lock()
+# RLocks: the SIGTERM handler runs on the main thread and may interrupt it
+# while it holds these inside _update_*/_emit — a plain Lock self-deadlocks
+# there (and _emitted would already be set, silencing the watchdog too)
+_result_lock = threading.RLock()
+_emit_once = threading.RLock()
 _emitted = threading.Event()
 _RESULT = {
     "metric": ("train images/sec/chip (ResNet-18/CIFAR-10 shape, bs=128, "
@@ -95,9 +99,10 @@ def _update_extra(key, value) -> None:
 
 def _emit(note=None, exit_code=None) -> None:
     """Print the result JSON exactly once; optionally exit."""
-    if _emitted.is_set():
-        return
-    _emitted.set()
+    with _emit_once:  # atomic test-and-set: racing threads print once total
+        if _emitted.is_set():
+            return
+        _emitted.set()
     with _result_lock:
         out = dict(_RESULT)
         out["extras"] = dict(out["extras"])
@@ -135,14 +140,18 @@ def _sig_handler(signum, frame):  # noqa: ARG001
     _emit(note=f"signal {signum}; emitting partial results", exit_code=0)
 
 
-for _sig in (signal.SIGTERM, signal.SIGINT):
-    try:
-        signal.signal(_sig, _sig_handler)
-    except (ValueError, OSError):
-        pass
+# Library mode (TORCHOK_BENCH_LIB=1): probes importing bench_case must not
+# inherit the signal handlers / watchdog threads — a TERM would print
+# bench's placeholder JSON and exit 0, masking the probe's own result.
+if not os.environ.get("TORCHOK_BENCH_LIB"):
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _sig_handler)
+        except (ValueError, OSError):
+            pass
 
-threading.Thread(target=_backend_watchdog, daemon=True).start()
-threading.Thread(target=_budget_watchdog, daemon=True).start()
+    threading.Thread(target=_backend_watchdog, daemon=True).start()
+    threading.Thread(target=_budget_watchdog, daemon=True).start()
 jax.devices()
 _backend_up.set()
 

@@ -13,9 +13,8 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
-# bench.py arms a budget watchdog on import that emits-and-exits; give the
-# probe its own generous ceiling before importing it
-os.environ.setdefault("TORCHOK_BENCH_BUDGET_S", "100000")
+# library mode: no signal handlers / watchdog threads from bench's import
+os.environ["TORCHOK_BENCH_LIB"] = "1"
 
 from bench import bench_case  # noqa: E402
 

@@ -20,9 +20,9 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/torchok_tpu/jax"))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from torchok_tpu.utils.compile_cache import cache_dir as _cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 
 import jax
 import jax.numpy as jnp

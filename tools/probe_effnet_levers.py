@@ -26,8 +26,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/torchok_tpu/jax"))
+from torchok_tpu.utils.compile_cache import cache_dir as _cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 
 import jax
 import jax.numpy as jnp

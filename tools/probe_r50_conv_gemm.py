@@ -21,8 +21,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/torchok_tpu/jax"))
+from torchok_tpu.utils.compile_cache import cache_dir as _cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 
 INTERPRET = os.environ.get("TORCHOK_PROBE_INTERPRET", "0") == "1"
 XLA_ONLY = os.environ.get("TORCHOK_PROBE_XLA_ONLY", "0") == "1"  # flag A/Bs

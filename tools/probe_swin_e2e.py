@@ -4,7 +4,8 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/torchok_tpu/jax")
+from torchok_tpu.utils.compile_cache import cache_dir as _cache_dir
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 
 import bench
 

@@ -2746,8 +2746,11 @@ class RandomSunFlare(BaseTransform):
         for i in range(n):
             r = int(self.rng.integers(rlo, rhi))
             alpha = self.rng.uniform(0.05, 0.2)
-            ox = cx + int(self.rng.integers(-w // 4, w // 4 + 1))
-            oy = cy + int(self.rng.integers(-h // 4, h // 4 + 1))
+            # -(w // 4), NOT -w // 4: python floor-divides the negated value
+            # (-30 // 4 = -8) while the device path uses -(w // 4) = -7 —
+            # the symmetric range keeps both distributions identical
+            ox = cx + int(self.rng.integers(-(w // 4), w // 4 + 1))
+            oy = cy + int(self.rng.integers(-(h // 4), h // 4 + 1))
             disk = _disk_mask(np, h, w, oy, ox, r)[..., None]
             overlay = overlay * (1 - alpha) + np.where(disk, color, 0.0) * alpha
         flare = np.where(

@@ -97,6 +97,25 @@ def test_ivf_index_high_recall_on_clustered_data(metric):
     np.testing.assert_allclose(s_a[hit, 0], s_e[hit, 0], rtol=1e-4, atol=1e-4)
 
 
+def test_ivf_nprobe_default_scales_with_nlist():
+    """The default nprobe holds the probed mass fraction constant: exactly
+    the historical 8 for nlist <= 1792 (so behavior at the 200k production
+    threshold is unchanged), scaling as round(nlist/224) above it —
+    measured at 1M rows this keeps recall@10 ~0.97 (BASELINE.md round-5)."""
+    from torchok_tpu.ops.knn import IvfIndex
+
+    rng = np.random.default_rng(12)
+    gallery = rng.normal(size=(4000, 8)).astype(np.float32)
+    # small nlist: default must equal the historical fixed 8
+    assert IvfIndex(gallery, metric="IP", nlist=64, n_iter=1).nprobe == 8
+    assert IvfIndex(gallery, metric="IP", nlist=1792, n_iter=1).nprobe == 8
+    # large nlist: constant-fraction scaling (3584/224 = 16)
+    assert IvfIndex(gallery, metric="IP", nlist=3584, n_iter=1).nprobe == 16
+    # explicit nprobe always wins
+    assert IvfIndex(gallery, metric="IP", nlist=3584, nprobe=4,
+                    n_iter=1).nprobe == 4
+
+
 def test_ivf_index_padding_semantics():
     """faiss parity: slots beyond the probed cells' members come back as
     index -1 with the worst score."""
